@@ -1,0 +1,323 @@
+"""Atomic-snapshot, bucket-partitioned parquet lake table.
+
+This is the engine's target-store abstraction: Iceberg-style semantics
+(atomic snapshot commits, source offsets stored *in* the commit, additive
+schema evolution, bucket partition pruning, time travel) implemented over
+plain parquet, because no Iceberg/Delta runtime jar ships in this sandbox.
+The public surface mirrors what the CDC pipeline needs from
+``MERGE INTO iceberg`` + a transactional offsets table.
+
+Reference analogs:
+* checkpoint/history file ``{context, nextFileIndex, nextBlockIndex}`` —
+  ``batch-tool model/ProducerExecutionContext.java:200-247`` → per-source
+  offsets committed atomically inside each snapshot (stronger: the
+  reference needs ``INSERT IGNORE`` to paper over replays; here the
+  snapshot pointer flip is the transaction).
+* client-side shard routing ``hash(value) % partitionSize`` —
+  ``batch-tool util/DbUtil.java:386-396`` → ``pmod(xxhash64(key), B)``
+  bucket layout, so MERGE only rewrites touched buckets.
+* DDL import with "already exists" tolerance / additive evolution —
+  ``batch-tool worker/ddl/DdlImportWorker.java:88-215`` → ``evolve_schema``.
+
+Layout::
+
+    <root>/
+      _meta/
+        v<NNNNNNNN>.json   # immutable snapshot manifests
+        _current           # pointer file, flipped via os.replace (atomic)
+      data/
+        v<NNNNNNNN>/b=<bucket>/*.parquet   # files staged by the commit
+      _lineage/*.parquet   # per-microbatch metrics (append-only)
+
+Crash-safety: data files are staged under the *next* version's directory
+before the pointer flips; a crash between staging and commit leaves
+orphans that no manifest references — the table still reads as the old
+snapshot and a restarted pipeline replays from the old offsets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+LINEAGE_DIR = "_lineage"
+CURRENT_PTR = "_current"
+
+# bookkeeping columns persisted in data files; never exposed by read()
+SEQ_TS = "_seq_ts"        # event-time of the winning change (dedup order major)
+SEQ_LSN = "_seq_lsn"      # LSN of the winning change (dedup order minor)
+SEQ_PART = "_seq_part"    # source partition of the winning change (final tiebreak)
+DELETED = "_deleted"      # tombstone flag: row was deleted; kept so a late,
+                          # older (ts,lsn) insert cannot resurrect it
+BOOKKEEPING_COLS = (SEQ_TS, SEQ_LSN, SEQ_PART, DELETED)
+
+
+def _with_bookkeeping(schema: StructType) -> StructType:
+    """Physical read schema: logical schema + bookkeeping columns."""
+    from pyspark.sql.types import BooleanType, IntegerType, LongType, TimestampType
+
+    extra = [
+        StructField(SEQ_TS, TimestampType(), True),
+        StructField(SEQ_LSN, LongType(), True),
+        StructField(SEQ_PART, IntegerType(), True),
+        StructField(DELETED, BooleanType(), True),
+    ]
+    names = {f.name for f in schema.fields}
+    return StructType(list(schema.fields) + [f for f in extra if f.name not in names])
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: str
+    bucket_key: str
+    bucket_count: int
+    # bucket id (as str, JSON keys) -> list of data file paths relative to root
+    files: dict[str, list[str]]
+    # source_partition (as str) -> last committed LSN
+    offsets: dict[str, int]
+    parent: int | None = None
+    committed_at: float = 0.0
+    properties: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_json))
+
+    def all_files(self) -> list[str]:
+        return [f for fl in self.files.values() for f in fl]
+
+
+class LakeTable:
+    """Handle to one lake table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+
+    # ---------------------------------------------------------------- meta
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.path, META_DIR, name)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path(CURRENT_PTR))
+
+    def current_version(self) -> int:
+        with open(self._meta_path(CURRENT_PTR), encoding="utf-8") as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+        with open(self._meta_path(f"v{version:08d}.json"), encoding="utf-8") as f:
+            return Snapshot(**json.loads(f.read()))
+
+    def snapshots(self) -> list[int]:
+        meta = os.path.join(self.path, META_DIR)
+        return sorted(
+            int(n[1:-5]) for n in os.listdir(meta)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    @property
+    def schema(self) -> StructType:
+        return self.snapshot().schema
+
+    def offsets(self) -> dict[int, int]:
+        """Committed source offsets: source_partition -> last applied LSN."""
+        return {int(k): int(v) for k, v in self.snapshot().offsets.items()}
+
+    # -------------------------------------------------------------- create
+
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema: StructType,
+        bucket_key: str = "conv_id",
+        bucket_count: int = 16,
+    ) -> "LakeTable":
+        """Create an empty table (version 0, no files, empty offsets)."""
+        t = cls(path)
+        if t.exists():
+            raise FileExistsError(f"lake table already exists at {path}")
+        os.makedirs(os.path.join(t.path, META_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_json=json.dumps(schema.jsonValue()),
+            bucket_key=bucket_key,
+            bucket_count=bucket_count,
+            files={},
+            offsets={},
+            parent=None,
+            committed_at=time.time(),
+        )
+        t._write_snapshot(snap)
+        t._flip_pointer(0)
+        return t
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        p = self._meta_path(f"v{snap.version:08d}.json")
+        tmp = p + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(json.dumps(snap.__dict__))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+    def _flip_pointer(self, version: int) -> None:
+        p = self._meta_path(CURRENT_PTR)
+        tmp = p + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)  # POSIX-atomic: this IS the transaction commit
+
+    # ---------------------------------------------------------------- read
+
+    def bucket_expr(self, key_col: str | None = None) -> F.Column:
+        """Deterministic bucket id of a key column (client-side routing,
+        same role as ``DbUtil.java:386-396``'s ``hash % n``)."""
+        snap = self.snapshot()
+        key = key_col or snap.bucket_key
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(snap.bucket_count)).cast("int")
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        include_bookkeeping: bool = False,
+        include_deleted: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot; prune to ``buckets`` when given.
+
+        Old files missing newly-added columns read as NULL (parquet scan
+        with an explicit, evolved schema) — additive evolution without a
+        rewrite, same effect as Iceberg schema merge.
+        """
+        snap = self.snapshot(version)
+        schema = _with_bookkeeping(snap.schema)
+        if buckets is None:
+            files = snap.all_files()
+        else:
+            want = {str(b) for b in buckets}
+            files = [f for b, fl in snap.files.items() if b in want for f in fl]
+        if not files:
+            df = spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, f) for f in files]
+            df = spark.read.schema(schema).parquet(*paths)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(DELETED), F.lit(False)))
+        if not include_bookkeeping:
+            df = df.drop(*BOOKKEEPING_COLS)
+        return df
+
+    # -------------------------------------------------------------- commit
+
+    def evolved_schema(self, incoming_payload: StructType) -> StructType:
+        """Current schema + any new payload fields appended (nullable).
+
+        Additive-only: type changes / drops are rejected, mirroring the
+        reference's create-only DDL path (``DdlImportWorker.java:188-210``
+        tolerates "already exists" but never alters types).
+        """
+        cur = self.snapshot().schema
+        names = {f.name for f in cur.fields}
+        out = list(cur.fields)
+        for f in incoming_payload.fields:
+            if f.name in names:
+                continue
+            out.append(StructField(f.name, f.dataType, nullable=True))
+        return StructType(out)
+
+    def staging_dir(self, next_version: int) -> str:
+        return os.path.join(self.path, DATA_DIR, f"v{next_version:08d}")
+
+    def commit(
+        self,
+        replaced_buckets: dict[int, list[str]],
+        offsets_updates: dict[int, int],
+        schema: StructType | None = None,
+        properties: dict[str, str] | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot: swap in new file lists for the replaced
+        buckets, carry every other bucket over, advance offsets, flip the
+        pointer atomically. Offsets move monotonically (max with current),
+        so re-applying an already-committed batch is a no-op."""
+        cur = self.snapshot()
+        if expected_version is not None and cur.version != expected_version:
+            raise RuntimeError(
+                f"concurrent commit detected: expected v{expected_version}, "
+                f"found v{cur.version}"
+            )
+        files = dict(cur.files)
+        for b, fl in replaced_buckets.items():
+            files[str(b)] = fl
+        offsets = {k: int(v) for k, v in cur.offsets.items()}
+        for p, lsn in offsets_updates.items():
+            k = str(p)
+            offsets[k] = max(int(lsn), offsets.get(k, -(1 << 62)))
+        snap = Snapshot(
+            version=cur.version + 1,
+            schema_json=json.dumps((schema or cur.schema).jsonValue()),
+            bucket_key=cur.bucket_key,
+            bucket_count=cur.bucket_count,
+            files=files,
+            offsets=offsets,
+            parent=cur.version,
+            committed_at=time.time(),
+            properties=properties or {},
+        )
+        self._write_snapshot(snap)
+        self._flip_pointer(snap.version)
+        return snap
+
+    # ------------------------------------------------------------- lineage
+
+    def lineage_dir(self) -> str:
+        return os.path.join(self.path, LINEAGE_DIR)
+
+    def append_lineage(self, spark: SparkSession, rows: list[dict]) -> None:
+        """Append per-microbatch, per-source-partition metrics.
+
+        Schema (FIXTURES.md §4): batch_id, source_partition,
+        offsets_applied, rows_merged, conflicts_resolved, events_per_sec,
+        wall_ms. Reference analog: CountStat/SqlStat/MonitorThread
+        (SURVEY.md §2.5 A1-A6)."""
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            [
+                (
+                    int(r["batch_id"]),
+                    int(r["source_partition"]),
+                    int(r["offsets_applied"]),
+                    int(r["rows_merged"]),
+                    int(r["conflicts_resolved"]),
+                    float(r["events_per_sec"]),
+                    int(r["wall_ms"]),
+                )
+                for r in rows
+            ],
+            "batch_id long, source_partition int, offsets_applied long, "
+            "rows_merged long, conflicts_resolved long, events_per_sec double, "
+            "wall_ms long",
+        )
+        df.coalesce(1).write.mode("append").parquet(self.lineage_dir())
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lineage_dir())

@@ -1,0 +1,198 @@
+"""CDC apply pipeline: changelog → dedup → MERGE → offsets+lineage.
+
+This is the engine's equivalent of the reference's full ingest loop
+(SURVEY.md §3.1): producer block-readers → ring buffer → INSERT/REPLACE/
+DELETE consumers → 60s history-file checkpoint
+(``exec/BaseExecutor.java:232-345``, ``exec/WriteDbExecutor.java:161-200``,
+``model/ProducerExecutionContext.java:200-247``). On Spark the whole
+threaded apparatus collapses to a microbatch loop:
+
+    for each LSN window:
+        batch   = changelog ∩ window, minus already-committed offsets
+        quarantine malformed rows (error budget, ref ``-maxError``:
+            ``worker/insert/DirectImportWorker.java:107-128``)
+        merge_into(table, batch)      # dedup + COW merge
+        (offsets advance inside the same atomic snapshot commit)
+        append lineage metrics
+
+Exactly-once: offsets live *inside* the table snapshot, so "merge
+applied" and "offsets advanced" are one atomic pointer flip. A crash
+anywhere leaves the old snapshot; restart re-selects from the committed
+offsets and the idempotent merge absorbs any overlap. This is the
+stronger version of the reference's resume-requires-INSERT-IGNORE
+coupling (``cmd/FlagOption.java:47-48``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polardbx_tools_spark.changelog.generator import transcripts_schema
+from polardbx_tools_spark.lake.merge import (
+    KEY_COLS,
+    LSN_COL,
+    OP_COL,
+    PART_COL,
+    MergeStats,
+    merge_into,
+)
+from polardbx_tools_spark.lake.table import LakeTable
+
+VALID_OPS = ("I", "U", "D")
+
+
+@dataclass
+class RunResult:
+    batches: int = 0
+    events_applied: int = 0
+    events_quarantined: int = 0
+    stats: list[MergeStats] = field(default_factory=list)
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        bucket_count: int = 16,
+        key_cols: tuple[str, ...] = KEY_COLS,
+        max_errors: int = 0,
+    ):
+        self.spark = spark
+        self.table = LakeTable(table_path)
+        self.bucket_count = bucket_count
+        self.key_cols = key_cols
+        self.max_errors = max_errors
+        self._errors_dir = os.path.join(os.path.abspath(table_path), "_errors")
+
+    # ----------------------------------------------------------- lifecycle
+
+    def ensure_table(self, with_tool: bool = False) -> LakeTable:
+        if not self.table.exists():
+            LakeTable.create(
+                self.table.path,
+                transcripts_schema(with_tool),
+                bucket_key=self.key_cols[0],
+                bucket_count=self.bucket_count,
+            )
+        return self.table
+
+    # ------------------------------------------------------------- filters
+
+    def _offsets_filter(self, df: DataFrame) -> DataFrame:
+        """Drop events at-or-below the committed offset of their source
+        partition (resume). Offsets are tiny (one per source partition) →
+        literal map pushed into the scan filter, no join/shuffle."""
+        offsets = self.table.offsets()
+        if not offsets:
+            return df
+        pairs: list[F.Column] = []
+        for p, lsn in offsets.items():
+            pairs += [F.lit(p), F.lit(lsn)]
+        m = F.create_map(*pairs)
+        committed = F.coalesce(
+            m[F.col(PART_COL)], F.lit(-(1 << 62)).cast("long")
+        )
+        return df.filter(F.col(LSN_COL) > committed)
+
+    def _split_quarantine(self, df: DataFrame) -> tuple[DataFrame, F.Column]:
+        bad = (
+            F.col(OP_COL).isNull()
+            | ~F.col(OP_COL).isin(*VALID_OPS)
+            | F.col(LSN_COL).isNull()
+        )
+        for k in self.key_cols:
+            bad = bad | F.col(k).isNull()
+        return df, bad
+
+    # --------------------------------------------------------------- apply
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> MergeStats:
+        """Apply one already-windowed changelog slice."""
+        batch = self._offsets_filter(batch)
+        df, bad = self._split_quarantine(batch)
+        bad_df = df.filter(bad)
+        n_bad = bad_df.count()
+        if n_bad:
+            bad_df.write.mode("append").parquet(self._errors_dir)
+            if n_bad > self.max_errors:
+                raise RuntimeError(
+                    f"batch {batch_id}: {n_bad} malformed events exceed "
+                    f"maxErrors={self.max_errors} (quarantined at {self._errors_dir})"
+                )
+        good = df.filter(~bad)
+        stats = merge_into(
+            self.spark, self.table, good, batch_id=batch_id, key_cols=self.key_cols
+        )
+        self.table.append_lineage(
+            self.spark,
+            [
+                {
+                    "batch_id": batch_id,
+                    "source_partition": p,
+                    "offsets_applied": v["max_lsn"],
+                    "rows_merged": v["winners"],
+                    "conflicts_resolved": v["conflicts"],
+                    "events_per_sec": (
+                        v["events"] / (stats.wall_ms / 1000.0) if stats.wall_ms else 0.0
+                    ),
+                    "wall_ms": stats.wall_ms,
+                }
+                for p, v in sorted(stats.per_partition.items())
+            ],
+        )
+        return stats
+
+    def run(
+        self,
+        changelog: DataFrame,
+        batch_lsns: int = 10_000,
+        max_lsn: int | None = None,
+        stop_after_batches: int | None = None,
+        with_tool: bool = False,
+    ) -> RunResult:
+        """Microbatch the changelog by LSN windows and apply each.
+
+        ``stop_after_batches`` simulates a kill for the resume suite: the
+        loop stops mid-stream; a fresh ``run`` on the same table resumes
+        from committed offsets and must converge to the same final state.
+        """
+        self.ensure_table(with_tool=with_tool)
+        if max_lsn is None:
+            max_lsn = changelog.agg(F.max(LSN_COL)).collect()[0][0]
+            if max_lsn is None:
+                return RunResult()
+        # resume: don't re-scan windows fully below the global min offset
+        offsets = self.table.offsets()
+        lo = 0
+        if offsets:
+            lo = (min(offsets.values()) + 1) // batch_lsns * batch_lsns
+        result = RunResult()
+        batch_id = lo // batch_lsns
+        while lo <= max_lsn:
+            hi = lo + batch_lsns
+            window = changelog.filter(
+                (F.col(LSN_COL) >= lo) & (F.col(LSN_COL) < hi)
+            )
+            stats = self.apply_batch(window, batch_id=batch_id)
+            result.batches += 1
+            result.events_applied += stats.batch_events
+            result.stats.append(stats)
+            lo, batch_id = hi, batch_id + 1
+            if stop_after_batches is not None and result.batches >= stop_after_batches:
+                break
+        return result
+
+    # ---------------------------------------------------------------- read
+
+    def read_transcripts(self, order: bool = True) -> DataFrame:
+        """Final-state view: tombstones filtered, stable turn ordering
+        (the input_hint per-turn-equality invariant is checked over this)."""
+        df = self.table.read(self.spark)
+        if order:
+            df = df.orderBy("conv_id", "turn_idx")
+        return df

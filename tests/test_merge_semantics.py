@@ -1,0 +1,140 @@
+"""Unit tests for merge semantics: last-writer-wins tie-breaks, sticky
+tombstones across batches, quarantine/error budget, offsets filter."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from polardbx_tools_spark.changelog.generator import changelog_schema
+from polardbx_tools_spark.lake.merge import dedup_last_writer
+from polardbx_tools_spark.pipeline import CdcPipeline
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ev(op, conv, turn, text, ts_s, lsn, part=0, role="user", tool=None):
+    return (op, conv, turn, role if op != "D" else None,
+            text if op != "D" else None, tool, T0 + dt.timedelta(seconds=ts_s),
+            lsn, part)
+
+
+def make_df(spark, rows):
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in changelog_schema(True).fields]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_dedup_ts_then_lsn_then_partition(spark):
+    rows = [
+        ev("I", "c1", 0, "a", 10, 1, part=0),
+        ev("U", "c1", 0, "b", 10, 2, part=0),   # same ts, higher lsn wins
+        ev("U", "c1", 0, "c", 5, 99, part=0),   # older ts loses despite lsn
+        ev("U", "c2", 0, "x", 10, 7, part=1),
+        ev("U", "c2", 0, "y", 10, 7, part=2),   # full tie on (ts,lsn): part wins
+    ]
+    out = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in dedup_last_writer(make_df(spark, rows)).collect()
+    }
+    assert out[("c1", 0)] == "b"
+    assert out[("c2", 0)] == "y"
+
+
+def test_delete_then_late_insert_stays_deleted_across_batches(spark, tmp_table_path):
+    """SURVEY.md §7 hard part: D at ts=100 in batch 1; a late I with older
+    ts=50 arrives in batch 2 → row must stay deleted (tombstone)."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4)
+    pipe.ensure_table(with_tool=True)
+    b1 = make_df(spark, [
+        ev("I", "c1", 0, "hello", 10, 1),
+        ev("D", "c1", 0, None, 100, 2),
+    ])
+    pipe.apply_batch(b1, batch_id=0)
+    assert pipe.read_transcripts().count() == 0
+
+    # late insert, older ts, *newer lsn* (so the offsets filter passes it)
+    b2 = make_df(spark, [ev("I", "c1", 0, "zombie", 50, 3)])
+    pipe.apply_batch(b2, batch_id=1)
+    assert pipe.read_transcripts().count() == 0, "tombstone must win"
+
+    # a genuinely newer insert resurrects the row
+    b3 = make_df(spark, [ev("I", "c1", 0, "reborn", 200, 4)])
+    pipe.apply_batch(b3, batch_id=2)
+    got = pipe.read_transcripts().collect()
+    assert len(got) == 1 and got[0]["text"] == "reborn"
+
+
+def test_update_missing_tool_nulls_it(spark, tmp_table_path):
+    """Full-row REPLACE semantics (reference K3): an update without a
+    payload column overwrites it with NULL."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4)
+    pipe.ensure_table(with_tool=True)
+    pipe.apply_batch(make_df(spark, [
+        ev("I", "c1", 0, "with tool", 10, 1, tool="tool-3"),
+    ]), batch_id=0)
+    assert pipe.read_transcripts().collect()[0]["tool"] == "tool-3"
+    pipe.apply_batch(make_df(spark, [
+        ev("U", "c1", 0, "updated", 20, 2, tool=None),
+    ]), batch_id=1)
+    row = pipe.read_transcripts().collect()[0]
+    assert row["text"] == "updated" and row["tool"] is None
+
+
+def test_quarantine_and_error_budget(spark, tmp_table_path):
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4, max_errors=2)
+    pipe.ensure_table(with_tool=True)
+    bad = make_df(spark, [
+        ev("I", "c1", 0, "ok", 10, 1),
+        ("X", "c2", 0, "u", "t", None, T0, 2, 0),        # bad op
+        ("I", None, 0, "u", "t", None, T0, 3, 0),        # null key
+    ])
+    stats = pipe.apply_batch(bad, batch_id=0)
+    assert stats.batch_events == 1
+    errs = spark.read.parquet(str(tmp_table_path) + "/_errors")
+    assert errs.count() == 2
+
+    over = make_df(spark, [
+        ("Z", f"c{i}", 0, "u", "t", None, T0, 10 + i, 0) for i in range(5)
+    ])
+    with pytest.raises(RuntimeError, match="maxErrors"):
+        pipe.apply_batch(over, batch_id=1)
+
+
+def test_offsets_filter_skips_committed(spark, tmp_table_path):
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4)
+    pipe.ensure_table(with_tool=True)
+    pipe.apply_batch(make_df(spark, [ev("I", "c1", 0, "v1", 10, 5, part=3)]), 0)
+    assert pipe.table.offsets() == {3: 5}
+    # replayed event (same lsn) and an older one must be filtered out
+    stats = pipe.apply_batch(make_df(spark, [
+        ev("U", "c1", 0, "stale", 11, 5, part=3),
+        ev("U", "c1", 0, "staler", 12, 4, part=3),
+        ev("U", "c1", 0, "fresh", 13, 6, part=3),
+    ]), 1)
+    assert stats.batch_events == 1
+    assert pipe.read_transcripts().collect()[0]["text"] == "fresh"
+    assert pipe.table.offsets() == {3: 6}
+
+
+def test_bucket_pruning_reads_only_affected(spark, tmp_table_path):
+    """A single-conversation batch must only rewrite that conversation's
+    bucket: other buckets' file lists are carried over unchanged."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=8)
+    pipe.ensure_table(with_tool=True)
+    big = make_df(spark, [
+        ev("I", f"c{i}", t, f"t{i}-{t}", 10 + i, i * 10 + t)
+        for i in range(20) for t in range(3)
+    ])
+    pipe.apply_batch(big, batch_id=0)
+    snap0 = pipe.table.snapshot()
+
+    one = make_df(spark, [ev("U", "c7", 0, "patched", 1000, 999)])
+    stats = pipe.apply_batch(one, batch_id=1)
+    assert len(stats.affected_buckets) == 1
+    snap1 = pipe.table.snapshot()
+    changed = [b for b in snap0.files if snap0.files[b] != snap1.files.get(b)]
+    assert changed == [str(stats.affected_buckets[0])]
