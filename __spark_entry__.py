@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data ops) as a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Column names and
+types are aligned on both sides (aggregates cast/rounded identically).
+
+The CDC engine itself (lake MERGE / resume / schema evolution) is
+exercised by ``python -m pytest tests/ -x -q`` against a pandas replay
+oracle; the entries here project its operator surface onto the driver's
+TPC-H-ish tables (events ≙ changelog, documents/embeddings ≙ corpus).
 """
 
 from __future__ import annotations
@@ -12,27 +16,682 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from polardbx_tools_spark.operators import dedup, masking, similarity, text
+from polardbx_tools_spark import report as rpt
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC net-state apply on the events stream (last-writer-
+    wins dedup + delete semantics), sf0.001."""
+    return _q_cdc_apply_net_state(spark, "/root/testdata/sf0.001")
 
+
+# ----------------------------------------------------- CDC core (events)
+
+def _q_cdc_dedup_last_writer(spark, sf):
+    """Last-writer-wins per key by (ts, lsn) — north_star dedup window
+    (engine: lake.merge.dedup_last_writer)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("event_id").alias("last_lsn"),
+        )
+    )
+
+
+def _q_cdc_apply_net_state(spark, sf):
+    """Full CDC apply semantics on a changelog: event_type='error' acts
+    as DELETE, everything else as UPSERT; final live state per key."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("event_id").alias("last_lsn"),
+        )
+    )
+
+
+def _q_cdc_offsets(spark, sf):
+    """Per-source-partition committed offsets (engine: snapshot offsets;
+    ref: history-file cursor, ProducerExecutionContext.java:200-247)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("source_partition", F.pmod(F.col("user_id"), F.lit(8)).cast("int"))
+        .groupBy("source_partition")
+        .agg(
+            F.max("event_id").alias("last_lsn"),
+            F.count("*").cast("long").alias("events"),
+        )
+    )
+
+
+def _q_cdc_op_filter(spark, sf):
+    """Statement classify + filter (ref P11: DQL/DML classification,
+    ConsumerThread.java:344-408)."""
+    ev = _t(spark, sf, "events")
+    op_class = (
+        F.when(F.col("event_type").isin("view", "click"), "DQL")
+        .when(F.col("event_type") == "error", "OTHER")
+        .otherwise("DML")
+    )
+    return (
+        ev.select(op_class.alias("op_class"))
+        .groupBy("op_class")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _q_changelog_parse_json(spark, sf):
+    """Vectorized changelog parse (ref S10: JSON event ingestion) —
+    extract typed field from the JSON props payload."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.pmod(k, F.lit(10)).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization (streaming-style stateful op as windows):
+    new session when >300s since previous event of the same user."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 300), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+# ------------------------------------------------------ reports (frodo)
+
+def _q_fingerprint_report(spark, sf):
+    """Per-template replay report (ref A3: Frodo.java:772-903): group by
+    SQL-template fingerprint (numbers → '?' then md5)."""
+    ev = _t(spark, sf, "events")
+    fp = F.md5(
+        F.concat(F.col("event_type"), F.lit("|"),
+                 F.regexp_replace(F.col("props"), "[0-9]+", "?"))
+    )
+    return rpt.fingerprint_report(
+        ev,
+        fingerprint_col=fp,
+        rt_col=F.col("value") / 1000.0,
+        error_col=(F.col("event_type") == "error").cast("int"),
+    )
+
+
+def _q_rt_histogram(spark, sf):
+    """Latency histogram buckets (ref A4: Frodo.java:1100-1139)."""
+    ev = _t(spark, sf, "events")
+    return rpt.rt_histogram(ev, F.col("value") / 1000.0)
+
+
+def _q_summary_report(spark, sf):
+    """Run totals sheet (ref A5)."""
+    ev = _t(spark, sf, "events")
+    return rpt.summary_report(
+        ev, F.col("value") / 1000.0, (F.col("event_type") == "error").cast("int")
+    )
+
+
+# ---------------------------------------- projection / masking / export
+
+def _q_projection_filter(spark, sf):
+    """Column projection + predicate pushdown (ref P1/P2: -col/-w)."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+def _q_masking_hide(spark, sf):
+    """Hiding + hash masks at export projection (ref P6/P7)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        masking.mask_hide(F.col("c_name"), 4).alias("masked_name"),
+        masking.mask_hash(F.col("c_name"), salt="s1").alias("name_hash"),
+    )
+
+
+def _q_masking_floor(spark, sf):
+    """FLOOR mask on numerics (ref MaskType.FLOOR, completed here)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey", masking.mask_floor(F.col("c_acctbal"), 100).alias("bal_floor")
+    )
+
+
+def _q_hex_roundtrip(spark, sf):
+    """Binary hex()/unhex() round-trip (ref ExportUtil.java:92-96)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.hex(F.encode("c_name", "UTF-8")).alias("name_hex"),
+        F.decode(F.unhex(F.hex(F.encode("c_name", "UTF-8"))), "UTF-8").alias("name_back"),
+    )
+
+
+def _q_shard_routing(spark, sf):
+    """Client-side shard routing hash%N + per-shard batch stats (ref K2:
+    BaseShardedConsumer.java:47-103, DbUtil.java:386-396)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn("shard", F.pmod(F.col("o_orderkey"), F.lit(16)).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+    )
+
+
+def _q_ordered_export(spark, sf):
+    """Ordered export (ref O1/O2: ORDER BY + k-way merge → one orderBy)."""
+    ev = _t(spark, sf, "events")
+    return ev.orderBy(F.col("value").desc(), F.col("event_id")).select(
+        "event_id", "event_type", F.round("value", 6).alias("value_r")
+    )
+
+
+def _q_schema_map(spark, sf):
+    """Schema filter/rename during shard step (ref P12: Frodo.java:299-305)
+    as a broadcast dimension join."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_name",
+            F.when(F.col("r_name").isin("AMERICA", "EUROPE"), F.lit("west"))
+            .otherwise(F.lit("east"))
+            .alias("area"),
+        )
+    )
+
+
+# ------------------------------------------------------------- TPC-H-ish
+
+def _q_tpch_q1(spark, sf):
+    """Pricing summary (generic agg engine check; decimal sums for
+    cross-engine determinism)."""
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"), 2
+            ).alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_join_revenue_by_nation(spark, sf):
+    """Multiway join + broadcast dims (q5-shape): revenue by nation."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    dec = lambda col: col.cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - dec(F.col("l_discount")))).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_topk_orders(spark, sf):
+    """Deterministic top-k (rank window, ref has no LIMIT — engine adds)."""
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 20")
+        .select("rank", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# ------------------------------------------------- text / training-data
+
+def _q_text_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(text.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(text.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(text.mean_word_len(F.col("text")), 6).alias("mean_wlen"),
+        F.round(text.quality_score(F.col("text")), 2).alias("quality"),
+    )
+
+
+def _q_text_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(text.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _q_doc_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.exact_groups(d)
+
+
+def _q_dedup_normalized(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.normalized_groups(d)
+
+
+def _q_dedup_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.jaccard_pairs(d, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 signatures)."""
+    d = _t(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
+
+
+def _q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (no SQL oracle: bit-vote aggregation)."""
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=6)
+
+
+def _q_ann_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(e, q, k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cos_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed ANN (no SQL oracle: hyperplane hashing)."""
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(e, q, dim=dim, k=5, n_planes=6)
+
+
+# ----------------------------------------------------------------- tables
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_dedup_last_writer": _q_cdc_dedup_last_writer,
+        "cdc_apply_net_state": _q_cdc_apply_net_state,
+        "cdc_offsets": _q_cdc_offsets,
+        "cdc_op_filter": _q_cdc_op_filter,
+        "changelog_parse_json": _q_changelog_parse_json,
+        "sessionize": _q_sessionize,
+        "fingerprint_report": _q_fingerprint_report,
+        "rt_histogram": _q_rt_histogram,
+        "summary_report": _q_summary_report,
+        "projection_filter": _q_projection_filter,
+        "masking_hide": _q_masking_hide,
+        "masking_floor": _q_masking_floor,
+        "hex_roundtrip": _q_hex_roundtrip,
+        "shard_routing": _q_shard_routing,
+        "ordered_export": _q_ordered_export,
+        "schema_map": _q_schema_map,
+        "tpch_q1": _q_tpch_q1,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "topk_orders": _q_topk_orders,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_IN = "('" + "','".join(
+    ("a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
+     "is", "it", "of", "on", "or", "that", "the", "to", "with")
+) + "')"
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_TOKS_L = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
+_WSET = f"list_distinct({_TOKS_L})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_dedup_last_writer": """
+            SELECT user_id,
+                   event_type AS last_event_type,
+                   round(value, 6) AS last_value,
+                   event_id AS last_lsn
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1
+        """,
+        "cdc_apply_net_state": """
+            SELECT user_id,
+                   event_type AS last_event_type,
+                   round(value, 6) AS last_value,
+                   event_id AS last_lsn
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_offsets": """
+            SELECT CAST(user_id % 8 AS INTEGER) AS source_partition,
+                   max(event_id) AS last_lsn,
+                   CAST(count(*) AS BIGINT) AS events
+            FROM events GROUP BY 1
+        """,
+        "cdc_op_filter": """
+            SELECT CASE WHEN event_type IN ('view','click') THEN 'DQL'
+                        WHEN event_type = 'error' THEN 'OTHER'
+                        ELSE 'DML' END AS op_class,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "changelog_parse_json": """
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_mod,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 300
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id,
+                   CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "fingerprint_report": """
+            SELECT md5(event_type || '|' || regexp_replace(props, '[0-9]+', '?', 'g')) AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS requests,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                   round(1.0 - sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS success_rate,
+                   round(min(value/1000.0), 6) AS min_rt,
+                   round(avg(value/1000.0), 6) AS avg_rt,
+                   round(max(value/1000.0), 6) AS max_rt
+            FROM events GROUP BY 1
+        """,
+        "rt_histogram": """
+            SELECT CASE WHEN value/1000.0 < 0.001 THEN '<1ms'
+                        WHEN value/1000.0 < 0.01 THEN '1-10ms'
+                        WHEN value/1000.0 < 0.1 THEN '10-100ms'
+                        WHEN value/1000.0 < 1.0 THEN '100ms-1s'
+                        WHEN value/1000.0 < 10.0 THEN '1-10s'
+                        ELSE '>10s' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "summary_report": """
+            SELECT CAST(count(*) AS BIGINT) AS requests,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                   round(1.0 - sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS success_rate,
+                   round(avg(value/1000.0), 6) AS avg_rt,
+                   round(min(value/1000.0), 6) AS min_rt,
+                   round(max(value/1000.0), 6) AS max_rt
+            FROM events
+        """,
+        "projection_filter": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_quantity < 25
+        """,
+        "masking_hide": """
+            SELECT c_custkey,
+                   CASE WHEN length(c_name) <= 4 THEN c_name
+                        ELSE repeat('*', length(c_name) - 4) ||
+                             substr(c_name, length(c_name) - 3) END AS masked_name,
+                   md5(c_name || 's1') AS name_hash
+            FROM customer
+        """,
+        "masking_floor": """
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS bal_floor
+            FROM customer
+        """,
+        "hex_roundtrip": """
+            SELECT c_custkey, hex(c_name) AS name_hex, c_name AS name_back
+            FROM customer
+        """,
+        "shard_routing": """
+            SELECT CAST(o_orderkey % 16 AS INTEGER) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price
+            FROM orders GROUP BY 1
+        """,
+        "ordered_export": """
+            SELECT event_id, event_type, round(value, 6) AS value_r
+            FROM events ORDER BY value DESC, event_id
+        """,
+        "schema_map": """
+            SELECT n_name,
+                   CASE WHEN r_name IN ('AMERICA','EUROPE') THEN 'west'
+                        ELSE 'east' END AS area
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_nation": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "topk_orders": """
+            SELECT rank, o_orderkey, round(o_totalprice, 2) AS total_price
+            FROM (SELECT o_orderkey, o_totalprice,
+                         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                  FROM orders)
+            WHERE rank <= 20
+        """,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(ceil(length(text) / 4.0) AS INTEGER) AS bpe_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     {_TOKS} AS toks,
+                     {_TOKS_L} AS toks_l,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct
+              FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN len(toks_l) > 0
+                         THEN len(list_filter(toks_l, x -> x IN {_STOP_IN})) * 1.0 / len(toks_l)
+                         ELSE 0.0 END, 6) AS stop_ratio,
+                   round(CASE WHEN n_chars > 0
+                         THEN (n_chars - n_nopunct) * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(toks) > 0
+                         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                         ELSE 0.0 END, 6) AS mean_wlen,
+                   round(
+                     (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN len(toks_l) > 0 AND
+                           len(list_filter(toks_l, x -> x IN {_STOP_IN})) * 1.0 / len(toks_l) >= 0.03
+                           THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN len(toks) > 0 AND
+                           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                              BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN n_chars > 0 AND
+                           (n_chars - n_nopunct) * 1.0 / n_chars <= 0.2
+                           THEN 0.25
+                           WHEN n_chars = 0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+            FROM t
+        """,
+        "text_lang_id": f"""
+            WITH t AS (
+              SELECT CASE
+                WHEN length(text) > 0 AND
+                     length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0 / length(text) < 0.8
+                THEN 'other'
+                WHEN len({_TOKS_L}) > 0 AND
+                     len(list_filter({_TOKS_L}, x -> x IN {_STOP_IN})) * 1.0 /
+                     len({_TOKS_L}) >= 0.08
+                THEN 'en'
+                ELSE 'unk' END AS pred_lang
+              FROM documents)
+            SELECT pred_lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "dedup_normalized": f"""
+            SELECT md5({_NORM}) AS content_hash,
+                   min(doc_id) AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH base AS (
+              SELECT doc_id AS id, {_WSET} AS ws,
+                     CAST(floor(len({_WSET}) / 10) AS BIGINT) AS blk
+              FROM documents)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.ws, b.ws)) * 1.0 /
+                         len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+            FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+            WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
+                  len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                     (sqrt(list_sum(list_transform(q.q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+              FROM embeddings c CROSS JOIN q
+              WHERE c.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+            WHERE rank <= 5
+        """,
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk: engine-specific
+        # hash functions (xxhash64 / hyperplane LSH) — rows-only check.
+    }

@@ -1,0 +1,70 @@
+"""Masking / crypto column transforms at export time.
+
+Reference parity (SURVEY.md §2.3 P6-P8):
+* hiding mask — star out all but a shown tail
+  (``batch-tool model/mask/HidingMasker.java:51-100``);
+* hash mask — salted digest
+  (``model/mask/HashMasker.java:51-58``, MD5+Base64 there; MD5-hex +
+  SHA2 offered here);
+* encryption — AES (``model/encrypt/AesCipher.java``) via Spark's
+  builtin ``aes_encrypt``/``aes_decrypt``;
+* binary hex round-trip (``worker/util/ExportUtil.java:92-96``,
+  ``ImportUtil.java:83-87``).
+
+All pure column expressions — applied at the export projection exactly
+like the reference applies maskers per field
+(``worker/export/BaseExportWorker.java:203-207``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def mask_hide(col: Column, show_tail: int = 4, mask_char: str = "*") -> Column:
+    """Star out everything except the last ``show_tail`` characters."""
+    n = F.length(col)
+    return F.when(col.isNull(), F.lit(None).cast("string")).when(
+        n <= show_tail, col
+    ).otherwise(
+        F.concat(
+            F.repeat(F.lit(mask_char), (n - F.lit(show_tail)).cast("int")),
+            F.substring(col, -show_tail, show_tail),
+        )
+    )
+
+
+def mask_hash(col: Column, salt: str = "") -> Column:
+    """Salted MD5 mask (hex). Reference emits Base64(MD5); hex keeps the
+    same information hiding and ports to every SQL oracle."""
+    return F.md5(F.concat(col.cast("string"), F.lit(salt)))
+
+
+def mask_sha2(col: Column, salt: str = "", bits: int = 256) -> Column:
+    return F.sha2(F.concat(col.cast("string"), F.lit(salt)), bits)
+
+
+def mask_floor(col: Column, width: int = 10) -> Column:
+    """FLOOR mask: round numerics down to a bucket boundary (declared but
+    unimplemented in the reference's DataMaskerFactory — completed here)."""
+    return (F.floor(col / width) * width).cast("double")
+
+
+def to_hex(col: Column) -> Column:
+    """Binary-safe export encoding (ref ``hex()`` on BINARY columns)."""
+    return F.hex(col)
+
+
+def from_hex(col: Column) -> Column:
+    return F.unhex(col)
+
+
+def encrypt_aes(col: Column, key: str, mode: str = "GCM") -> Column:
+    """AES encryption of a string column (ref AES-CBC cipher; Spark's
+    builtin supports ECB/GCM/CBC). Key must be 16/24/32 bytes."""
+    return F.aes_encrypt(col.cast("binary"), F.lit(key), F.lit(mode))
+
+
+def decrypt_aes(col: Column, key: str, mode: str = "GCM") -> Column:
+    return F.aes_decrypt(col, F.lit(key), F.lit(mode)).cast("string")

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side column expressions (no Python in the hot path): language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+These generalize the reference's per-column row transforms (masking /
+string funcs, ``batch-tool model/mask/*``, ``worker/util/UpdateUtil.java:198-219``)
+to corpus curation at 100 TB: every function is a narrow projection over
+one string column, so Catalyst prunes the scan to exactly that column
+and the whole pipeline stays in WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small, deterministic English stopword set — shared with the DuckDB
+# oracle (keep sorted; both engines build the same membership test)
+STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
+    "is", "it", "of", "on", "or", "that", "the", "to", "with",
+)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("int")
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token estimate: ceil(chars / 4) — the standard serving
+    approximation; cheap enough to run over 10^10 rows."""
+    return F.ceil(F.length(col) / F.lit(4.0)).cast("int")
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return (
+        F.when(F.size(toks) > 0, F.size(stop) / F.size(toks)).otherwise(F.lit(0.0))
+    ).cast("double")
+
+
+def punct_ratio(col: Column) -> Column:
+    no_punct = F.regexp_replace(col, r"[^\w\s]", "")
+    return (
+        F.when(
+            F.length(col) > 0,
+            (F.length(col) - F.length(no_punct)) / F.length(col),
+        ).otherwise(F.lit(0.0))
+    ).cast("double")
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    return (
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0))
+    ).cast("double")
+
+
+def lang_id(col: Column, en_threshold: float = 0.08) -> Column:
+    """N-gram-free heuristic language ID: ASCII share + English stopword
+    density. Deterministic and SQL-portable (oracle runs the same rule)."""
+    ascii_share = (
+        F.when(
+            F.length(col) > 0,
+            F.length(F.regexp_replace(col, r"[^\x00-\x7F]", "")) / F.length(col),
+        ).otherwise(F.lit(1.0))
+    ).cast("double")
+    return (
+        F.when(ascii_share < 0.8, F.lit("other"))
+        .when(stopword_ratio(col) >= en_threshold, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] quality heuristic: length band + stopword presence + sane
+    word length + low punctuation. Mirrors classic corpus filters
+    (C4/Gopher-style rules) as one codegen'd expression."""
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col) >= 0.03, F.lit(0.25)).otherwise(F.lit(0.0))
+    wl = mean_word_len(col)
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    return (len_ok + stop_ok + wl_ok + punct_ok).cast("double")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, strip
+    punctuation, collapse whitespace. The corpus analog of frodo's SQL
+    deparameterizer (``frodo-core/.../utils/Util.java:385-462``)."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"[^\w\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(col: Column) -> Column:
+    """128-bit content fingerprint of the normalized text (the engine's
+    ``sqlId``: 16-hex MD5, ref ``Util.java:96-110`` — ours keeps 32 hex)."""
+    return F.md5(normalize_text(col))
+
+
+def sql_template_id(col: Column) -> Column:
+    """Statement-template fingerprint: numbers and quoted strings → ``?``
+    then MD5 — frodo's fallback deparameterizer semantics
+    (``Util.java:385-462``), vectorized as column expressions."""
+    t = F.regexp_replace(col, r"'[^']*'", "?")
+    t = F.regexp_replace(t, r"\b[0-9]+(\.[0-9]+)?\b", "?")
+    t = F.regexp_replace(F.trim(t), r"\s+", " ")
+    return F.md5(t)

@@ -1,0 +1,73 @@
+"""Replay/metrics reports — frodo's reporting surface as single
+declarative aggregations (SURVEY.md §2.5 A3-A5).
+
+frodo accumulates per-thread hash maps and merges them at the end
+(``frodo-core/.../core/Frodo.java:772-944``, ``ConsumerThread.java:70-122``);
+here each report is ONE groupBy/agg — partial aggregation and the
+final merge are Catalyst's job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RT histogram bucket edges, seconds — ``Frodo.java:1100-1139``
+RT_BUCKETS = ((0.001, "<1ms"), (0.01, "1-10ms"), (0.1, "10-100ms"),
+              (1.0, "100ms-1s"), (10.0, "1-10s"), (float("inf"), ">10s"))
+
+
+def fingerprint_report(
+    df: DataFrame,
+    fingerprint_col: Column,
+    rt_col: Column,
+    error_col: Column | None = None,
+    sample_col: Column | None = None,
+) -> DataFrame:
+    """Per-template replay report: requests, errors, success rate,
+    min/avg/max RT, one sample statement — the reference's detail sheet
+    (``DefaultReport.java:12-39``) as one wide aggregation."""
+    err = error_col if error_col is not None else F.lit(0)
+    aggs = [
+        F.count("*").cast("long").alias("requests"),
+        F.sum(err.cast("int")).cast("long").alias("errors"),
+        F.round(1.0 - F.sum(err.cast("int")) / F.count("*"), 6).alias("success_rate"),
+        F.round(F.min(rt_col), 6).alias("min_rt"),
+        F.round(F.avg(rt_col), 6).alias("avg_rt"),
+        F.round(F.max(rt_col), 6).alias("max_rt"),
+    ]
+    if sample_col is not None:
+        aggs.append(F.min(sample_col).alias("sample"))
+    return df.groupBy(fingerprint_col.alias("fingerprint")).agg(*aggs)
+
+
+def rt_bucket(rt_col: Column) -> Column:
+    """Latency bucket label (``Frodo.java:1100-1139`` when-chain)."""
+    expr = None
+    for edge, label in RT_BUCKETS:
+        cond = rt_col < edge if edge != float("inf") else F.lit(True)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr
+
+
+def rt_histogram(df: DataFrame, rt_col: Column) -> DataFrame:
+    return (
+        df.select(rt_bucket(rt_col).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def summary_report(
+    df: DataFrame, rt_col: Column, error_col: Column | None = None
+) -> DataFrame:
+    """One-row totals sheet (``Frodo.java:1060-1143``/``ReportResult``)."""
+    err = error_col if error_col is not None else F.lit(0)
+    return df.agg(
+        F.count("*").cast("long").alias("requests"),
+        F.sum(err.cast("int")).cast("long").alias("errors"),
+        F.round(1.0 - F.sum(err.cast("int")) / F.count("*"), 6).alias("success_rate"),
+        F.round(F.avg(rt_col), 6).alias("avg_rt"),
+        F.round(F.min(rt_col), 6).alias("min_rt"),
+        F.round(F.max(rt_col), 6).alias("max_rt"),
+    )
