@@ -56,11 +56,13 @@ PART_COL = "source_partition"
 CDC_META_COLS = (OP_COL, LSN_COL, PART_COL)
 
 WRITE_SALT_BUCKETS = 16  # sub-splits per storage bucket for the rewrite shuffle
+OBSERVE_PART_LIMIT = 128  # per-partition metrics via Observation up to this many
 
 
 @dataclass
 class MergeStats:
     batch_events: int = 0
+    invalid_events: int = 0
     rows_written: int = 0
     upserts: int = 0
     deletes: int = 0
@@ -129,6 +131,7 @@ def merge_into(
     batch_id: int = 0,
     key_cols: tuple[str, ...] = KEY_COLS,
     expected_version: int | None = None,
+    invalid_cond: F.Column | None = None,
 ) -> MergeStats:
     """Apply one changelog microbatch to the table, committing new data
     files + advanced offsets in a single atomic snapshot.
@@ -138,26 +141,64 @@ def merge_into(
     additive evolution (committed with the same snapshot).
     """
     t0 = time.time()
+    debug = os.environ.get("MERGE_DEBUG") == "1"
+    marks: list[tuple[str, float]] = []
+
+    def mark(label: str) -> None:
+        if debug:
+            marks.append((label, time.time()))
+
     stats = MergeStats()
     snap = table.snapshot()
     if expected_version is None:
         expected_version = snap.version
 
-    # -- 1. per-source-partition batch facts (tiny collect: ≤ #partitions)
+    # -- 1. per-source-partition batch facts + affected buckets, ONE pass
+    # (tiny collect: ≤ #source-partitions rows, each with ≤ bucket_count
+    # bucket ids — the only data that ever reaches the driver)
+    bucket = F.pmod(
+        F.xxhash64(F.col(snap.bucket_key)), F.lit(snap.bucket_count)
+    ).cast("int")
+    valid = ~invalid_cond if invalid_cond is not None else F.lit(True)
     part_rows = (
-        batch.groupBy(PART_COL)
-        .agg(F.count("*").alias("events"), F.max(LSN_COL).alias("max_lsn"))
+        batch.withColumn("_b", F.when(valid, bucket))
+        .groupBy(PART_COL)
+        .agg(
+            F.sum(valid.cast("long")).alias("events"),
+            F.sum((~valid).cast("long")).alias("invalid"),
+            # offsets advance over quarantined events too: a skipped bad
+            # line is consumed (ref -maxError skip semantics)
+            F.max(LSN_COL).alias("max_lsn"),
+            F.collect_set("_b").alias("buckets"),  # nulls (invalid) excluded
+        )
         .collect()
     )
-    stats.batch_events = sum(r["events"] for r in part_rows)
+    stats.batch_events = sum(int(r["events"] or 0) for r in part_rows)
+    stats.invalid_events = sum(int(r["invalid"] or 0) for r in part_rows)
     stats.per_partition = {
-        int(r[PART_COL]): {"events": int(r["events"]), "max_lsn": int(r["max_lsn"]),
+        int(r[PART_COL]): {"events": int(r["events"] or 0),
+                           "max_lsn": int(r["max_lsn"]),
                            "winners": 0, "conflicts": 0}
         for r in part_rows
+        if r[PART_COL] is not None
     }
+    mark("stats_agg")
     if stats.batch_events == 0:
+        # still advance offsets over an all-invalid window
+        if stats.invalid_events and stats.per_partition:
+            table.commit(
+                replaced_buckets={},
+                offsets_updates={
+                    p: v["max_lsn"] for p, v in stats.per_partition.items()
+                },
+                expected_version=expected_version,
+            )
         stats.wall_ms = int((time.time() - t0) * 1000)
         return stats
+    if invalid_cond is not None:
+        batch = batch.filter(valid)
+    affected = sorted({b for r in part_rows for b in r["buckets"]})
+    stats.affected_buckets = affected
 
     # -- 2. additive schema evolution (Iceberg-style ADD COLUMN)
     payload_schema = batch.drop(*CDC_META_COLS).schema
@@ -166,117 +207,134 @@ def merge_into(
     schema = new_schema if evolved else snap.schema
     payload_cols = [f.name for f in schema.fields if f.name not in BOOKKEEPING_COLS]
 
-    # -- 3. within-batch last-writer-wins, then net-change rows
-    src = dedup_last_writer(batch, key_cols)
-    src = _align_source_payload(src, schema)
-    src = src.select(
+    # -- 3/4/5. SINGLE-SHUFFLE MERGE: union(source events, target rows of
+    # the affected buckets), shuffle ONCE by (bucket, salt(key)) and sort
+    # within each partition by (key, seq desc). The first row of each key
+    # run is the merged row — last-writer-wins across source-vs-target,
+    # source-vs-source (within-batch duplicates) and target survivorship
+    # in one total order. The same sort gives write clustering: data is
+    # already partitioned by bucket when it hits the writer, so no second
+    # payload shuffle and files come out key-sorted per bucket.
+    #
+    # Salt is deterministic per key — all copies of a key land in the
+    # same partition (correctness) while a hot conversation spreads over
+    # its turns (skew, north_rule). On an exact (ts,lsn,part) tie — an
+    # already-applied event replayed after a crash — the TARGET copy
+    # sorts first (_is_src asc), so replays are observable no-ops: the
+    # idempotence the reference gets from INSERT IGNORE
+    # (``cmd/FlagOption.java:47-48``).
+    from pyspark.sql.window import Window
+
+    src = _align_source_payload(batch, schema).select(
         *[F.col(c) for c in payload_cols],
-        F.col(OP_COL).alias("_s_op"),
-        F.col(TS_COL).alias("_s_ts"),
-        F.col(LSN_COL).alias("_s_lsn"),
-        F.col(PART_COL).alias("_s_part"),
+        F.col(TS_COL).alias(SEQ_TS),
+        F.col(LSN_COL).alias(SEQ_LSN),
+        F.col(PART_COL).alias(SEQ_PART),
+        (F.col(OP_COL) == F.lit("D")).alias(DELETED),
+        F.lit(1).alias("_is_src"),
     )
-
-    # -- 4. bucket pruning: touch only buckets the batch writes to
-    bucket = F.pmod(F.xxhash64(F.col(snap.bucket_key)), F.lit(snap.bucket_count)).cast("int")
-    src = src.withColumn("b", bucket)
-    affected = sorted(
-        r["b"] for r in src.select("b").distinct().collect()
-    )  # ≤ bucket_count values
-    stats.affected_buckets = affected
-
     tgt = table.read(
         spark, buckets=affected, include_bookkeeping=True, include_deleted=True
     )
-    # evolved columns missing from old schema read: add as NULL
-    for f in schema.fields:
+    for f in schema.fields:  # evolved columns read as NULL from old files
         if f.name not in tgt.columns:
             tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
     tgt = tgt.select(
-        *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
-        F.col(SEQ_TS).alias("_t_seqts"),
-        F.col(SEQ_LSN).alias("_t_seqlsn"),
-        F.col(SEQ_PART).alias("_t_seqpart"),
-        F.col(DELETED).alias("_t_del"),
+        *[F.col(c) for c in payload_cols],
+        F.col(SEQ_TS),
+        F.col(SEQ_LSN),
+        F.col(SEQ_PART),
+        F.coalesce(F.col(DELETED), F.lit(False)).alias(DELETED),
+        F.lit(0).alias("_is_src"),
+    )
+    # adaptive salt: enough sub-splits per bucket to keep every core busy
+    # without exploding the file count (files/batch ≈ shuffle partitions)
+    cores = spark.sparkContext.defaultParallelism
+    salt_n = max(1, (2 * cores) // max(1, len(affected)))
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(salt_n))
+
+    unioned = (
+        src.unionByName(tgt).withColumn("b", bucket).withColumn("_salt", salt)
+    )
+    w = Window.partitionBy(F.col("b"), F.col("_salt")).orderBy(
+        *[F.col(k) for k in key_cols],
+        F.col(SEQ_TS).desc(),
+        F.col(SEQ_LSN).desc(),
+        F.col(SEQ_PART).desc(),
+        F.col("_is_src").asc(),
+    )
+    prev_key = [F.lag(F.col(k)).over(w) for k in key_cols]
+    key_change = prev_key[0].isNull()
+    for k, pk in zip(key_cols, prev_key):
+        key_change = key_change | (pk != F.col(k)) | pk.isNull()
+    ranked = unioned.withColumn(
+        "_rn", F.when(key_change, F.lit(1)).otherwise(F.lit(2))
     )
 
-    # -- 5. the merge join: full outer on the fine-grained key
-    cond = None
-    for k in key_cols:
-        c = src[k] == tgt[f"_t_{k}"]
-        cond = c if cond is None else (cond & c)
-    joined = src.join(tgt, cond, "full_outer")
+    # -- 6/7. salted rewrite + metrics in the SAME job: outcome counters
+    # ride the write as Observation metrics (no persist, no second pass).
+    # Per-source-partition winners/conflicts are conditional sums — fine
+    # for ≤ OBSERVE_PART_LIMIT partitions; beyond that fall back to a
+    # cached groupBy (a real cluster with 10k binlog shards would).
+    parts = sorted(stats.per_partition)
+    use_observe = len(parts) <= OBSERVE_PART_LIMIT
+    next_version = snap.version + 1
+    staging = table.staging_dir(next_version)
+    out_cols = payload_cols + list(BOOKKEEPING_COLS)
 
-    matched = tgt[f"_t_{key_cols[0]}"].isNotNull() & src[key_cols[0]].isNotNull()
-    src_only = tgt[f"_t_{key_cols[0]}"].isNull()
-    newer = seq_newer(
-        F.col("_s_ts"), F.col("_s_lsn"), F.col("_s_part"),
-        F.col("_t_seqts"), F.col("_t_seqlsn"), F.col("_t_seqpart"),
-    )
-    take_source = src_only | (matched & newer)
+    is_win = F.col("_rn") == 1
+    is_src = F.col("_is_src") == 1
 
-    result = joined.select(
-        *[
-            F.when(take_source, F.col(c)).otherwise(F.col(f"_t_{c}")).alias(c)
-            for c in payload_cols
-        ],
-        F.when(take_source, F.col("_s_ts")).otherwise(F.col("_t_seqts")).alias(SEQ_TS),
-        F.when(take_source, F.col("_s_lsn")).otherwise(F.col("_t_seqlsn")).alias(SEQ_LSN),
-        F.when(take_source, F.col("_s_part")).otherwise(F.col("_t_seqpart")).alias(SEQ_PART),
-        F.when(take_source, F.col("_s_op") == F.lit("D"))
-        .otherwise(F.coalesce(F.col("_t_del"), F.lit(False)))
-        .alias(DELETED),
-        F.when(take_source & (F.col("_s_op") != F.lit("D")), F.lit("u"))
-        .when(take_source, F.lit("d"))
-        .when(matched & ~newer, F.lit("c"))  # conflict: source event lost
-        .otherwise(F.lit("k"))               # target row kept untouched
-        .alias("_outcome"),
-        F.when(take_source, F.col("_s_part")).otherwise(F.lit(None)).alias("_win_part"),
-        F.when(matched & ~newer, F.col("_s_part")).otherwise(F.lit(None)).alias("_lose_part"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    def one(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    try:
-        # -- 6. salted rewrite: bucket dirs for pruning, salt for parallelism
-        next_version = snap.version + 1
-        staging = table.staging_dir(next_version)
-        salt = F.pmod(
-            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(WRITE_SALT_BUCKETS)
-        )
-        out_cols = payload_cols + list(BOOKKEEPING_COLS)
-        (
-            result.withColumn("b", bucket)
-            .repartition(F.col("b"), salt)
-            .select(*out_cols, "b")
-            .write.partitionBy("b")
-            .mode("overwrite")
-            .parquet(staging)
-        )
+    metrics = [
+        one(is_win & is_src & ~F.col(DELETED)).alias("upserts"),
+        one(is_win & is_src & F.col(DELETED)).alias("deletes"),
+        one(~is_win & is_src).alias("conflicts"),
+        one(is_win).alias("rows_written_total"),
+    ]
+    for p in parts:
+        pp = F.col(SEQ_PART) == p
+        metrics.append(one(is_win & is_src & pp).alias(f"w{p}"))
+        metrics.append(one(~is_win & is_src & pp).alias(f"c{p}"))
 
-        # -- 7. merge outcome metrics (reuses the cached join, no re-read)
-        outcome_rows = result.groupBy("_outcome", "_win_part", "_lose_part").count().collect()
-        for r in outcome_rows:
-            n = int(r["count"])
-            if r["_outcome"] == "u":
-                stats.upserts += n
-            elif r["_outcome"] == "d":
-                stats.deletes += n
-            elif r["_outcome"] == "c":
-                stats.conflicts_resolved += n
-            if r["_win_part"] is not None:
-                stats.per_partition.setdefault(
-                    int(r["_win_part"]),
-                    {"events": 0, "max_lsn": 0, "winners": 0, "conflicts": 0},
-                )["winners"] += n
-            if r["_lose_part"] is not None:
-                stats.per_partition.setdefault(
-                    int(r["_lose_part"]),
-                    {"events": 0, "max_lsn": 0, "winners": 0, "conflicts": 0},
-                )["conflicts"] += n
-        stats.rows_written = stats.upserts + stats.deletes + sum(
-            n for r in outcome_rows if r["_outcome"] == "k" for n in [int(r["count"])]
-        )
-    finally:
-        result.unpersist()
+    obs = None
+    if use_observe:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ranked = ranked.observe(obs, *metrics)
+
+    # no second shuffle: rows are already partitioned by (b, salt) and
+    # key-sorted from the merge window — the writer fans out to the few
+    # bucket dirs present in each partition, emitting key-sorted files
+    writable = ranked.filter(is_win).select(*out_cols, "b")
+    writable.write.partitionBy("b").mode("overwrite").parquet(staging)
+    mark("merge_write")
+
+    if use_observe:
+        m = obs.get
+        stats.upserts = int(m["upserts"])
+        stats.deletes = int(m["deletes"])
+        stats.conflicts_resolved = int(m["conflicts"])
+        stats.rows_written = int(m["rows_written_total"])
+        for p in parts:
+            stats.per_partition[p]["winners"] = int(m[f"w{p}"])
+            stats.per_partition[p]["conflicts"] = int(m[f"c{p}"])
+    else:
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            row = ranked.agg(*metrics).collect()[0].asDict()
+            stats.upserts = int(row["upserts"])
+            stats.deletes = int(row["deletes"])
+            stats.conflicts_resolved = int(row["conflicts"])
+            stats.rows_written = int(row["rows_written_total"])
+            for p in parts:
+                stats.per_partition[p]["winners"] = int(row[f"w{p}"])
+                stats.per_partition[p]["conflicts"] = int(row[f"c{p}"])
+        finally:
+            ranked.unpersist()
 
     # -- 8. collect staged file lists per bucket, commit atomically
     replaced: dict[int, list[str]] = {b: [] for b in affected}
@@ -301,4 +359,12 @@ def merge_into(
     )
     stats.committed_version = committed.version
     stats.wall_ms = int((time.time() - t0) * 1000)
+    if debug:
+        prev = t0
+        spans = []
+        for label, tt in marks:
+            spans.append(f"{label}={tt - prev:.1f}s")
+            prev = tt
+        spans.append(f"commit={time.time() - prev:.1f}s")
+        print(f"[merge b{batch_id}] " + " ".join(spans), flush=True)
     return stats

@@ -291,33 +291,38 @@ class LakeTable:
     def lineage_dir(self) -> str:
         return os.path.join(self.path, LINEAGE_DIR)
 
+    LINEAGE_SCHEMA = (
+        "batch_id long, source_partition int, offsets_applied long, "
+        "rows_merged long, conflicts_resolved long, events_per_sec double, "
+        "wall_ms long"
+    )
+
     def append_lineage(self, spark: SparkSession, rows: list[dict]) -> None:
         """Append per-microbatch, per-source-partition metrics.
 
         Schema (FIXTURES.md §4): batch_id, source_partition,
         offsets_applied, rows_merged, conflicts_resolved, events_per_sec,
         wall_ms. Reference analog: CountStat/SqlStat/MonitorThread
-        (SURVEY.md §2.5 A1-A6)."""
+        (SURVEY.md §2.5 A1-A6).
+
+        Emitted as a driver-side JSONL append — metrics are tiny
+        (#partitions rows per batch) and must not cost a Spark job per
+        microbatch (the reference's monitor is likewise a side thread,
+        ``thread/MonitorThread.java:35-114``)."""
         if not rows:
             return
-        df = spark.createDataFrame(
-            [
-                (
-                    int(r["batch_id"]),
-                    int(r["source_partition"]),
-                    int(r["offsets_applied"]),
-                    int(r["rows_merged"]),
-                    int(r["conflicts_resolved"]),
-                    float(r["events_per_sec"]),
-                    int(r["wall_ms"]),
-                )
-                for r in rows
-            ],
-            "batch_id long, source_partition int, offsets_applied long, "
-            "rows_merged long, conflicts_resolved long, events_per_sec double, "
-            "wall_ms long",
-        )
-        df.coalesce(1).write.mode("append").parquet(self.lineage_dir())
+        os.makedirs(self.lineage_dir(), exist_ok=True)
+        with open(
+            os.path.join(self.lineage_dir(), "lineage.jsonl"), "a", encoding="utf-8"
+        ) as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.lineage_dir())
+        return (
+            spark.read.schema(self.LINEAGE_SCHEMA)
+            .option("mode", "DROPMALFORMED")
+            .json(os.path.join(self.lineage_dir(), "lineage.jsonl"))
+        )

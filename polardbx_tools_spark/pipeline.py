@@ -115,19 +115,25 @@ class CdcPipeline:
         """Apply one already-windowed changelog slice."""
         batch = self._offsets_filter(batch)
         df, bad = self._split_quarantine(batch)
-        bad_df = df.filter(bad)
-        n_bad = bad_df.count()
-        if n_bad:
-            bad_df.write.mode("append").parquet(self._errors_dir)
-            if n_bad > self.max_errors:
-                raise RuntimeError(
-                    f"batch {batch_id}: {n_bad} malformed events exceed "
-                    f"maxErrors={self.max_errors} (quarantined at {self._errors_dir})"
-                )
-        good = df.filter(~bad)
         stats = merge_into(
-            self.spark, self.table, good, batch_id=batch_id, key_cols=self.key_cols
+            self.spark,
+            self.table,
+            df,
+            batch_id=batch_id,
+            key_cols=self.key_cols,
+            invalid_cond=bad,
         )
+        if stats.invalid_events:
+            # rare path: only malformed batches pay a second (filtered) scan
+            df.filter(bad).write.mode("append").parquet(self._errors_dir)
+            if stats.invalid_events > self.max_errors:
+                raise RuntimeError(
+                    f"batch {batch_id}: {stats.invalid_events} malformed events "
+                    f"exceed maxErrors={self.max_errors} "
+                    f"(quarantined at {self._errors_dir}; valid events of this "
+                    f"window were merged idempotently before the gate fired)"
+                )
+
         self.table.append_lineage(
             self.spark,
             [
@@ -181,6 +187,7 @@ class CdcPipeline:
             stats = self.apply_batch(window, batch_id=batch_id)
             result.batches += 1
             result.events_applied += stats.batch_events
+            result.events_quarantined += stats.invalid_events
             result.stats.append(stats)
             lo, batch_id = hi, batch_id + 1
             if stop_after_batches is not None and result.batches >= stop_after_batches:

@@ -1,0 +1,3 @@
+from polardbx_tools_spark.streaming.stream import start_cdc_stream
+
+__all__ = ["start_cdc_stream"]

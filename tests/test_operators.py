@@ -1,0 +1,152 @@
+"""Operator units: dedup family, similarity, text, masking, export,
+multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polardbx_tools_spark.operators import dedup, masking, similarity, text
+from polardbx_tools_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+        (3, "The quick brown fox, jumps over the lazy dog!"),     # normalized dup
+        (4, "the quick brown fox jumps over a lazy dog"),         # near dup
+        (5, "completely different text about spark engines and merges"),
+        (6, "an unrelated short note"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_and_normalized_dedup(docs):
+    ex = {r["canonical_id"]: r["n_docs"] for r in dedup.exact_groups(docs).collect()}
+    assert ex[1] == 2                      # docs 1,2
+    nm = {r["canonical_id"]: r["n_docs"] for r in dedup.normalized_groups(docs).collect()}
+    assert nm[1] == 3                      # docs 1,2,3
+
+    kept = dedup.dedup_exact(docs).count()
+    assert kept == 5
+
+
+def test_jaccard_and_minhash_find_near_dups(docs):
+    jp = dedup.jaccard_pairs(docs, threshold=0.5, block_col=F.lit(0))
+    pairs = {(r["id_a"], r["id_b"]) for r in jp.collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs
+    assert not any(5 in p or 6 in p for p in pairs)
+
+    mh = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16, verify_threshold=0.3)
+    mpairs = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    assert (1, 2) in mpairs            # identical docs always collide
+    assert not any({5, 6} & set(p) for p in mpairs)
+
+
+def test_simhash_identical_and_distance(docs, spark):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sh[1] == sh[2]              # identical text -> identical simhash
+    near = dedup.simhash_near_pairs(docs, max_hamming=10)
+    npairs = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    assert (1, 2) in npairs
+
+
+def test_brute_force_vs_lsh_topk(spark):
+    import math
+
+    vecs = [
+        (i, [math.cos(i * 0.3 + j) for j in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    bf = similarity.brute_force_topk(df, q, k=3)
+    got = bf.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in bf.filter("rank=1").collect()}
+    # cos(i*0.3 + j) has period ~2π/0.3≈20.9 — nearest vector is not self
+    assert len(top1) == 3
+
+    lsh = similarity.lsh_topk(df, q, dim=8, k=3, n_planes=4)
+    assert lsh.count() > 0
+    assert lsh.filter("cosine > 1.0001 or cosine < -1.0001").count() == 0
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat, happily!",), ("word",), ("",)],
+        "text string",
+    )
+    r = df.select(
+        text.token_count(F.col("text")).alias("n"),
+        F.round(text.stopword_ratio(F.col("text")), 3).alias("sr"),
+        text.lang_id(F.col("text")).alias("lang"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert r[0]["n"] == 7 and r[1]["n"] == 1 and r[2]["n"] == 0
+    assert r[0]["sr"] > 0.25 and r[0]["lang"] == "en"
+    # fingerprint is punctuation-insensitive
+    fp2 = df.select(text.fingerprint(F.lit("THE CAT sat on the mat happily"))).collect()
+    assert r[0]["fp"] == fp2[0][0]
+
+
+def test_masking(spark):
+    df = spark.createDataFrame([("Customer#001",), ("ab",), (None,)], "v string")
+    out = df.select(
+        masking.mask_hide(F.col("v"), 4).alias("hide"),
+        masking.mask_hash(F.col("v"), "s").alias("hash"),
+    ).collect()
+    assert out[0]["hide"] == "********#001"
+    assert out[1]["hide"] == "ab"
+    assert out[2]["hide"] is None
+    assert out[0]["hash"] != out[1]["hash"]
+
+
+def test_aes_roundtrip(spark):
+    df = spark.createDataFrame([("secret text",)], "v string")
+    key = "0123456789abcdef"
+    out = df.select(
+        masking.decrypt_aes(masking.encrypt_aes(F.col("v"), key), key).alias("rt")
+    ).collect()
+    assert out[0]["rt"] == "secret text"
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.extract_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feat"]) == 8 for r in rows)
+    # deterministic: same payload -> same sha1/features across runs
+    again = {r["media_id"]: r["sha1"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["sha1"] for r in rows)
+
+    frames = multimodal.sample_frames(media, every_ms=500)
+    vid_cnt = media.filter("kind='video'").count()
+    assert frames.select("media_id").distinct().count() == vid_cnt
+
+
+def test_export_rotation_and_ddl(spark, tmp_path):
+    import glob
+
+    from polardbx_tools_spark.export import ddl_export, ddl_import, export_csv
+    from polardbx_tools_spark.changelog.generator import transcripts_schema
+    from polardbx_tools_spark.lake.table import LakeTable
+
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("name-"), F.col("id")).alias("name")
+    )
+    out = str(tmp_path / "csv")
+    export_csv(df, out, order_by=["id"], max_rows_per_file=30, header=True)
+    files = glob.glob(out + "/*.csv")
+    assert len(files) >= 4  # 100 rows / 30 per file
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 100
+
+    t = LakeTable.create(str(tmp_path / "t1"), transcripts_schema(True))
+    ddl_path = str(tmp_path / "t1.ddl.json")
+    ddl_export(t, ddl_path)
+    t2 = ddl_import(ddl_path, str(tmp_path / "t2"))
+    assert t2.schema == t.schema
+    # idempotent re-import (ref: "already exists" tolerated)
+    t3 = ddl_import(ddl_path, str(tmp_path / "t2"))
+    assert t3.path == t2.path
