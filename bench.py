@@ -30,8 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from polardbx_tools_spark.changelog.generator import ChangelogSpec, generate_changelog
-from polardbx_tools_spark.pipeline import CdcPipeline
+from polardbx_tools_spark.changelog.generator import ChangelogSpec
 from polardbx_tools_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,13 +57,22 @@ def bench_spec() -> ChangelogSpec:
 
 
 def prepare_changelog(workdir: str) -> str:
-    """Materialize the bench changelog once; both legs read the same bytes."""
+    """Materialize the bench changelog once; every leg reads the same
+    bytes. Runs in a subprocess — the bench parent never owns a JVM (a
+    stopped local[32] session can leave a wedged JVM behind)."""
+    import subprocess
+
     cl_path = os.path.join(workdir, "changelog")
-    if not os.path.exists(cl_path):
-        spark = get_spark(app_name="cdc-bench-gen", master=f"local[{CPUS_HI}]")
-        spark.sparkContext.setLogLevel("ERROR")
-        generate_changelog(spark, bench_spec()).repartition(64).write.parquet(cl_path)
-        spark.stop()
+    if not os.path.exists(os.path.join(cl_path, "_SUCCESS")):
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "bench_gen.py"),
+                cl_path, str(N_EVENTS), "8",
+            ],
+            capture_output=True, text=True, check=True, timeout=1800,
+        )
     return cl_path
 
 
@@ -91,6 +99,7 @@ def run_cdc_apply(cpus: int, workdir: str, repeats: int = 1) -> dict:
             env={**os.environ, "SPARK_DRIVER_MEMORY":
                  os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
             check=True,
+            timeout=1800,
         )
         leg = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or leg["wall_s"] < best["wall_s"]:

@@ -1,0 +1,120 @@
+"""Lake table maintenance: compaction, snapshot expiry, orphan vacuum.
+
+Copy-on-write merges accumulate files (one set per touched bucket per
+microbatch) and superseded versions keep their data dirs on disk. These
+are the standard lake-housekeeping ops (Iceberg: rewrite_data_files /
+expire_snapshots / remove_orphan_files) rebuilt for :class:`LakeTable`.
+
+Reference analog: the reference rotates/limits export files
+(``worker/export/DirectExportWorker.java:250-332``) and its ring-buffer
+sizing bounds in-flight state; a lake loader's equivalent steady-state
+concern is file-count growth, handled here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from polardbx_tools_spark.lake.table import BOOKKEEPING_COLS, DELETED, LakeTable
+
+
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    target_file_rows: int = 1_000_000,
+    buckets: list[int] | None = None,
+    drop_tombstones: bool = False,
+) -> dict:
+    """Rewrite each (selected) bucket's files into few key-sorted files.
+
+    ``drop_tombstones=True`` physically removes delete markers — only
+    safe once no source can still deliver events older than the
+    tombstones (the reference's analog: a finished replay). Committed as
+    a normal atomic snapshot; readers never see a half-compacted table.
+    """
+    snap = table.snapshot()
+    todo = sorted(int(b) for b in snap.files) if buckets is None else sorted(buckets)
+    todo = [b for b in todo if snap.files.get(str(b))]
+    if not todo:
+        return {"buckets": 0, "files_before": 0, "files_after": 0}
+
+    files_before = sum(len(snap.files[str(b)]) for b in todo)
+    df = table.read(
+        spark, buckets=todo, include_bookkeeping=True, include_deleted=True
+    )
+    if drop_tombstones:
+        df = df.filter(~F.coalesce(F.col(DELETED), F.lit(False)))
+
+    bucket = F.pmod(
+        F.xxhash64(F.col(snap.bucket_key)), F.lit(snap.bucket_count)
+    ).cast("int")
+    next_version = snap.version + 1
+    staging = table.staging_dir(next_version)
+    n_rows = df.count()
+    per_bucket_files = max(1, (n_rows // max(1, len(todo))) // target_file_rows + 1)
+    salt = F.pmod(F.xxhash64(F.col(snap.bucket_key)), F.lit(per_bucket_files))
+    out_cols = [f.name for f in snap.schema.fields] + list(BOOKKEEPING_COLS)
+    (
+        df.withColumn("b", bucket)
+        .repartition(F.col("b"), salt)
+        .sortWithinPartitions(snap.bucket_key)
+        .select(*out_cols, "b")
+        .write.partitionBy("b")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+
+    replaced: dict[int, list[str]] = {b: [] for b in todo}
+    rel = os.path.relpath(staging, table.path)
+    if os.path.isdir(staging):
+        for d in os.listdir(staging):
+            if d.startswith("b="):
+                bb = int(d.split("=", 1)[1])
+                replaced[bb] = sorted(
+                    os.path.join(rel, d, fn)
+                    for fn in os.listdir(os.path.join(staging, d))
+                    if fn.endswith(".parquet")
+                )
+    table.commit(replaced_buckets=replaced, offsets_updates={},
+                 properties={"op": "compact"})
+    files_after = sum(len(v) for v in replaced.values())
+    return {"buckets": len(todo), "files_before": files_before,
+            "files_after": files_after, "rows": n_rows}
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
+    """Drop old snapshot manifests (time travel horizon). Data files are
+    NOT touched here — vacuum() reclaims unreferenced ones."""
+    versions = table.snapshots()
+    current = table.current_version()
+    expire = [v for v in versions if v < current][:-max(0, keep_last - 1) or None]
+    expire = [v for v in expire if v != current]
+    for v in expire:
+        os.remove(table._meta_path(f"v{v:08d}.json"))
+    return expire
+
+
+def vacuum(table: LakeTable) -> list[str]:
+    """Delete data files referenced by NO remaining snapshot (orphans
+    from crashed commits + files of expired versions)."""
+    from polardbx_tools_spark.lake.table import DATA_DIR
+
+    live: set[str] = set()
+    for v in table.snapshots():
+        live.update(table.snapshot(v).all_files())
+    removed: list[str] = []
+    data_root = os.path.join(table.path, DATA_DIR)
+    for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+        for fn in filenames:
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, table.path)
+            if rel not in live and fn.endswith(".parquet"):
+                os.remove(full)
+                removed.append(rel)
+        if not os.listdir(dirpath):
+            shutil.rmtree(dirpath, ignore_errors=True)
+    return removed

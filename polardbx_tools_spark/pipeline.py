@@ -26,6 +26,7 @@ coupling (``cmd/FlagOption.java:47-48``).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,12 +161,20 @@ class CdcPipeline:
         max_lsn: int | None = None,
         stop_after_batches: int | None = None,
         with_tool: bool = False,
+        max_events_per_sec: float | None = None,
+        monitor: bool = False,
     ) -> RunResult:
         """Microbatch the changelog by LSN windows and apply each.
 
         ``stop_after_batches`` simulates a kill for the resume suite: the
         loop stops mid-stream; a fresh ``run`` on the same table resumes
         from committed offsets and must converge to the same final state.
+
+        ``max_events_per_sec`` paces the loop (reference TPS limiting,
+        Guava RateLimiter per consumer ``BaseWorkHandler.java:64-81``, and
+        frodo's rate-factor replay ``JSConsumerThreadV2.java:146-162``).
+        ``monitor`` prints per-batch QPS/progress like frodo's
+        MonitorThread (``thread/MonitorThread.java:35-114``).
         """
         self.ensure_table(with_tool=with_tool)
         if max_lsn is None:
@@ -179,6 +188,7 @@ class CdcPipeline:
             lo = (min(offsets.values()) + 1) // batch_lsns * batch_lsns
         result = RunResult()
         batch_id = lo // batch_lsns
+        run_t0 = time.time()
         while lo <= max_lsn:
             hi = lo + batch_lsns
             window = changelog.filter(
@@ -189,6 +199,25 @@ class CdcPipeline:
             result.events_applied += stats.batch_events
             result.events_quarantined += stats.invalid_events
             result.stats.append(stats)
+            if monitor:
+                elapsed = max(1e-9, time.time() - run_t0)
+                print(
+                    f"[cdc b{batch_id}] events={stats.batch_events} "
+                    f"merged={stats.upserts + stats.deletes} "
+                    f"conflicts={stats.conflicts_resolved} "
+                    f"buckets={len(stats.affected_buckets)} "
+                    f"batch_ev/s={stats.batch_events / max(1e-9, stats.wall_ms / 1000):.0f} "
+                    f"run_ev/s={result.events_applied / elapsed:.0f} "
+                    f"progress={min(100, 100 * hi // (max_lsn + 1))}%",
+                    flush=True,
+                )
+            if max_events_per_sec:
+                # pace like the reference's RateLimiter: sleep until the
+                # cumulative rate drops to the target
+                min_elapsed = result.events_applied / max_events_per_sec
+                lag = min_elapsed - (time.time() - run_t0)
+                if lag > 0:
+                    time.sleep(lag)
             lo, batch_id = hi, batch_id + 1
             if stop_after_batches is not None and result.batches >= stop_after_batches:
                 break
