@@ -286,6 +286,62 @@ class LakeTable:
         self._flip_pointer(snap.version)
         return snap
 
+    def rollback(self, version: int) -> Snapshot:
+        """Restore the table to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot`` parity; reference analog: the TPC-H
+        rollback generators that invert a refresh round,
+        ``worker/tpch/generator/*Rollback*``). Offsets regress with the
+        snapshot, so a subsequent run re-applies the rolled-back events
+        idempotently — rollback + replay converges."""
+        if version not in self.snapshots():
+            raise ValueError(f"unknown snapshot v{version}")
+        self._flip_pointer(version)
+        return self.snapshot(version)
+
+    def incremental_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Rows changed between two snapshots — the table AS a changelog
+        source (CDC read side; Iceberg incremental read parity).
+
+        Scans ONLY data files added after ``from_version`` (file-level
+        diff per bucket) and filters to sequence numbers above the old
+        snapshot's offsets, so cost ∝ change volume, not table size.
+        Returns current-schema rows plus ``_change_type``
+        ('upsert' | 'delete')."""
+        old = self.snapshot(from_version)
+        new = self.snapshot(to_version)
+        old_files = set(old.all_files())
+        new_files = [f for f in new.all_files() if f not in old_files]
+        schema = _with_bookkeeping(new.schema)
+        if not new_files:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in new_files]
+            )
+        old_offsets = {int(k): int(v) for k, v in old.offsets.items()}
+        floor = F.lit(-(1 << 62)).cast("long")
+        if old_offsets:
+            pairs: list = []
+            for p, lsn in old_offsets.items():
+                pairs += [F.lit(p), F.lit(lsn)]
+            committed = F.coalesce(F.create_map(*pairs)[F.col(SEQ_PART)], floor)
+        else:
+            committed = floor
+        return (
+            df.filter(F.col(SEQ_LSN) > committed)
+            .withColumn(
+                "_change_type",
+                F.when(F.coalesce(F.col(DELETED), F.lit(False)), F.lit("delete"))
+                .otherwise(F.lit("upsert")),
+            )
+            .drop(*BOOKKEEPING_COLS)
+        )
+
     # ------------------------------------------------------------- lineage
 
     def lineage_dir(self) -> str:
