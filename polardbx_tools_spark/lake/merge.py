@@ -294,10 +294,12 @@ def merge_into(
         one(~is_win & is_src).alias("conflicts"),
         one(is_win).alias("rows_written_total"),
     ]
-    for p in parts:
-        pp = F.col(SEQ_PART) == p
-        metrics.append(one(is_win & is_src & pp).alias(f"w{p}"))
-        metrics.append(one(~is_win & is_src & pp).alias(f"c{p}"))
+    detail = os.environ.get("MERGE_PARTITION_METRICS", "1") == "1"
+    if detail:
+        for p in parts:
+            pp = F.col(SEQ_PART) == p
+            metrics.append(one(is_win & is_src & pp).alias(f"w{p}"))
+            metrics.append(one(~is_win & is_src & pp).alias(f"c{p}"))
 
     obs = None
     if use_observe:
@@ -319,9 +321,10 @@ def merge_into(
         stats.deletes = int(m["deletes"])
         stats.conflicts_resolved = int(m["conflicts"])
         stats.rows_written = int(m["rows_written_total"])
-        for p in parts:
-            stats.per_partition[p]["winners"] = int(m[f"w{p}"])
-            stats.per_partition[p]["conflicts"] = int(m[f"c{p}"])
+        if detail:
+            for p in parts:
+                stats.per_partition[p]["winners"] = int(m[f"w{p}"])
+                stats.per_partition[p]["conflicts"] = int(m[f"c{p}"])
     else:
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
         try:
