@@ -19,14 +19,16 @@ Semantics (SURVEY.md §2.2 K1/K3/K4/K6 collapsed into one relational op):
   replay exactly-once (reference couples resume to INSERT IGNORE for the
   same reason: ``cmd/FlagOption.java:47-48``).
 
-Scale posture: the join is bucket-pruned (only buckets present in the
-batch are read/rewritten), runs as a shuffle join on the fine-grained
-key ``(conv_id, turn_idx)`` (hot conversations spread across their
-turns), and the rewrite shuffle is **salted** on ``xxhash64(conv_id,
-turn_idx)`` so one hot conversation cannot pin a single writer task
-(north_rule explicit-skew-handling requirement). AQE skew-join stays on
-as the backstop. No driver-side data movement: only tiny aggregates
-(per-source-partition counts/max-LSN, ≤ #partitions rows) are collected.
+Scale posture: ONE shuffle per microbatch — union(source, target rows of
+the affected buckets) is hash-partitioned by ``(bucket, salt(key))`` and
+sorted by ``(key, seq desc)``; the first row of each key run is the
+merged row, and the same sort clusters the write (no second payload
+shuffle, key-sorted files out). Bucket pruning keeps reads proportional
+to touched data; the deterministic per-key salt spreads a hot
+conversation across its turns (north_rule explicit-skew handling); AQE
+stays on as the backstop. No driver-side data movement: only tiny
+aggregates (per-source-partition counts/max-LSN, ≤ #partitions rows plus
+Observation metrics) are collected.
 """
 
 from __future__ import annotations
@@ -55,7 +57,6 @@ LSN_COL = "source_lsn"
 PART_COL = "source_partition"
 CDC_META_COLS = (OP_COL, LSN_COL, PART_COL)
 
-WRITE_SALT_BUCKETS = 16  # sub-splits per storage bucket for the rewrite shuffle
 OBSERVE_PART_LIMIT = 128  # per-partition metrics via Observation up to this many
 
 
@@ -72,15 +73,6 @@ class MergeStats:
     committed_version: int | None = None
     # source_partition -> {"events": n, "winners": n, "conflicts": n, "max_lsn": n}
     per_partition: dict[int, dict[str, int]] = field(default_factory=dict)
-
-
-def seq_newer(s_ts, s_lsn, s_part, t_ts, t_lsn, t_part) -> F.Column:
-    """Strict lexicographic (ts, lsn, source_partition) comparison."""
-    return (
-        (s_ts > t_ts)
-        | ((s_ts == t_ts) & (s_lsn > t_lsn))
-        | ((s_ts == t_ts) & (s_lsn == t_lsn) & (s_part > t_part))
-    )
 
 
 def dedup_last_writer(

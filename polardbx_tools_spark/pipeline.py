@@ -163,6 +163,7 @@ class CdcPipeline:
         with_tool: bool = False,
         max_events_per_sec: float | None = None,
         monitor: bool = False,
+        compact_every: int | None = None,
     ) -> RunResult:
         """Microbatch the changelog by LSN windows and apply each.
 
@@ -175,6 +176,8 @@ class CdcPipeline:
         frodo's rate-factor replay ``JSConsumerThreadV2.java:146-162``).
         ``monitor`` prints per-batch QPS/progress like frodo's
         MonitorThread (``thread/MonitorThread.java:35-114``).
+        ``compact_every`` compacts the table after every N batches
+        (steady-state file-count control for long tails).
         """
         self.ensure_table(with_tool=with_tool)
         if max_lsn is None:
@@ -218,6 +221,10 @@ class CdcPipeline:
                 lag = min_elapsed - (time.time() - run_t0)
                 if lag > 0:
                     time.sleep(lag)
+            if compact_every and result.batches % compact_every == 0:
+                from polardbx_tools_spark.lake.maintenance import compact
+
+                compact(self.spark, self.table)
             lo, batch_id = hi, batch_id + 1
             if stop_after_batches is not None and result.batches >= stop_after_batches:
                 break
