@@ -201,6 +201,35 @@ def _q_masking_floor(spark, sf):
     )
 
 
+def _q_masking_caesar(spark, sf):
+    """Caesar cipher column transform (ref P8: CaesarCipher.java:21)."""
+    c = _t(spark, sf, "customer")
+    return c.select("c_custkey", masking.caesar(F.col("c_name"), 3).alias("enc"))
+
+
+def _q_fingerprint_pandas_udf(spark, sf):
+    """Arrow-batched pandas-UDF SQL-template fingerprint (ref P9 frodo
+    deparameterizer, Util.java:385-462) — the vectorized-UDF exemplar,
+    verified against the same template logic in the SQL oracle."""
+    from polardbx_tools_spark.changelog.parser import fingerprint_udf
+
+    ev = _t(spark, sf, "events")
+    fp = fingerprint_udf()
+    return ev.select("event_id", fp(F.col("props")).alias("template_fp"))
+
+
+def _q_ann_cosine_topk_np(spark, sf):
+    """Numpy/mapInPandas fast path for exact ANN (no SQL oracle: fp
+    summation order differs at the last ulp; equivalence to the
+    expression version is asserted in tests)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk_np(e, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cos_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_hex_roundtrip(spark, sf):
     """Binary hex()/unhex() round-trip (ref ExportUtil.java:92-96)."""
     c = _t(spark, sf, "customer")
@@ -408,6 +437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_filter": _q_projection_filter,
         "masking_hide": _q_masking_hide,
         "masking_floor": _q_masking_floor,
+        "masking_caesar": _q_masking_caesar,
+        "fingerprint_pandas_udf": _q_fingerprint_pandas_udf,
+        "ann_cosine_topk_np": _q_ann_cosine_topk_np,
         "hex_roundtrip": _q_hex_roundtrip,
         "shard_routing": _q_shard_routing,
         "ordered_export": _q_ordered_export,
@@ -550,6 +582,22 @@ def oracle_sql() -> dict[str, str]:
         "hex_roundtrip": """
             SELECT c_custkey, hex(c_name) AS name_hex, c_name AS name_back
             FROM customer
+        """,
+        "masking_caesar": """
+            SELECT c_custkey,
+                   translate(c_name,
+                     'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     'defghijklmnopqrstuvwxyzabcDEFGHIJKLMNOPQRSTUVWXYZABC') AS enc
+            FROM customer
+        """,
+        "fingerprint_pandas_udf": """
+            SELECT event_id,
+                   md5(trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(props, '''[^'']*''', '?', 'g'),
+                         '\\b[0-9]+(\\.[0-9]+)?\\b', '?', 'g'),
+                       '\\s+', ' ', 'g'))) AS template_fp
+            FROM events
         """,
         "shard_routing": """
             SELECT CAST(o_orderkey % 16 AS INTEGER) AS shard,

@@ -60,6 +60,20 @@ def from_hex(col: Column) -> Column:
     return F.unhex(col)
 
 
+def caesar(col: Column, shift: int = 3) -> Column:
+    """Toy Caesar cipher over a-z/A-Z (reference CaesarCipher.java:21 —
+    kept for parity/testing, obviously not security) via translate."""
+    import string
+
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+    src = lower + upper
+    dst = (
+        lower[shift % 26:] + lower[: shift % 26]
+        + upper[shift % 26:] + upper[: shift % 26]
+    )
+    return F.translate(col, src, dst)
+
+
 def encrypt_aes(col: Column, key: str, mode: str = "GCM") -> Column:
     """AES encryption of a string column (ref AES-CBC cipher; Spark's
     builtin supports ECB/GCM/CBC). Key must be 16/24/32 bytes."""

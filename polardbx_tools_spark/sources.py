@@ -1,0 +1,74 @@
+"""Auxiliary sources — completing the SURVEY.md §2.1 inventory.
+
+* S2/S1 CSV/text: `changelog.parser.parse_csv_changelog` (built-in scan).
+* S3 XLSX: :func:`read_xlsx` below (driver-side pandas → DataFrame; the
+  reference treats Excel as a convenience path, not a scale path —
+  ``worker/common/reader/XlsxReader.java:40-63``).
+* S6 DB shard scan: :func:`jdbc_shard_scan` — partitioned
+  ``spark.read.jdbc``, the Spark analog of per-physical-shard SELECTs
+  with streaming fetch (``worker/util/ExportUtil.java:38-64``,
+  ``util/DataSourceUtil.java:38-42``). Untested here (no DB in the
+  sandbox); the builder is config-only and unit-checked for shape.
+* S7/S9 tails: `streaming.stream.start_cdc_stream`.
+* K8 S3/OSS: any writer/reader takes ``s3a://`` paths directly — no
+  custom uploader needed (the reference stages to temp files + putObject,
+  ``store/S3AwsFileStorage.java:32-73``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_xlsx(
+    spark: SparkSession, path: str, sheet: str | int = 0, header: bool = True
+) -> DataFrame:
+    """Excel → DataFrame via pandas (import-gated: openpyxl may be
+    absent). Driver-side by design — Excel files are small by nature."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet, header=0 if header else None)
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "XLSX support requires openpyxl/xlrd, not present in this "
+            "container — convert to CSV and use parse_csv_changelog"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def jdbc_shard_scan(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+    fetch_size: int = 10_000,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+):
+    """Partitioned JDBC scan builder — per-shard parallel SELECT with
+    streaming fetch, projection (ref P1 ``-col``) and predicate pushdown
+    (ref P2 ``-w``). Returns the configured DataFrameReader-born frame;
+    call sites own the connection details."""
+    dbtable = table
+    if columns or predicate:
+        cols = ", ".join(columns) if columns else "*"
+        where = f" WHERE {predicate}" if predicate else ""
+        dbtable = f"(SELECT {cols} FROM {table}{where}) AS shard_scan"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+        .option("fetchsize", str(fetch_size))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader

@@ -150,3 +150,20 @@ def test_export_rotation_and_ddl(spark, tmp_path):
     # idempotent re-import (ref: "already exists" tolerated)
     t3 = ddl_import(ddl_path, str(tmp_path / "t2"))
     assert t3.path == t2.path
+
+
+def test_numpy_topk_matches_expression_topk(spark):
+    import math
+
+    vecs = [(i, [math.sin(i * 0.7 + j) for j in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+    expr_res = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 6))
+        for r in similarity.brute_force_topk(df, q, k=4).collect()
+    }
+    np_res = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 6))
+        for r in similarity.brute_force_topk_np(df, q, k=4).collect()
+    }
+    assert expr_res == np_res
