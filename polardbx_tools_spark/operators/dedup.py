@@ -83,6 +83,8 @@ def jaccard_pairs(
         word_set(F.col(text_col)).alias("ws"),
         block_col.alias("blk"),
     )
+    # cost is O(candidate pairs) — exact verification is the point of this
+    # operator; use minhash_lsh_pairs as the sub-quadratic scale path
     a = base.select(
         F.col("id").alias("id_a"), F.col("ws").alias("ws_a"), F.col("blk")
     )

@@ -98,6 +98,11 @@ class CdcPipeline:
         committed = F.coalesce(
             m[F.col(PART_COL)], F.lit(-(1 << 62)).cast("long")
         )
+        # NOTE: a coarse `lsn > min(offsets)` bound would push down to the
+        # scan, but is only safe if every source partition already has a
+        # committed offset — an unseen partition's early events would be
+        # dropped. The LSN *window* predicate (pushed, verified in the
+        # plan audit) does the coarse pruning instead.
         return df.filter(F.col(LSN_COL) > committed)
 
     def _split_quarantine(self, df: DataFrame) -> tuple[DataFrame, F.Column]:
