@@ -337,6 +337,45 @@ def _q_topk_orders(spark, sf):
     )
 
 
+def _q_semi_join_urgent_orders(spark, sf):
+    """Left-semi join (EXISTS): orders having at least one late lineitem
+    (q4-shape) — exercises semi-join planning."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def _q_anti_join_quiet_customers(spark, sf):
+    """Left-anti join: customers with no orders above a price threshold."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+def _q_outer_join_order_counts(spark, sf):
+    """Left-outer + count distribution (q13-shape): how many customers
+    have k orders, including zero."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
 # ------------------------------------------------- text / training-data
 
 def _q_text_token_count(spark, sf):
@@ -445,6 +484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_export": _q_ordered_export,
         "schema_map": _q_schema_map,
         "tpch_q1": _q_tpch_q1,
+        "semi_join_urgent_orders": _q_semi_join_urgent_orders,
+        "anti_join_quiet_customers": _q_anti_join_quiet_customers,
+        "outer_join_order_counts": _q_outer_join_order_counts,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "topk_orders": _q_topk_orders,
         "text_token_count": _q_text_token_count,
@@ -614,6 +656,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN r_name IN ('AMERICA','EUROPE') THEN 'west'
                         ELSE 'east' END AS area
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "semi_join_urgent_orders": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "anti_join_quiet_customers": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+            GROUP BY 1
+        """,
+        "outer_join_order_counts": """
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+                  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                  GROUP BY c_custkey)
+            GROUP BY n_orders
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
