@@ -376,6 +376,38 @@ def _q_outer_join_order_counts(spark, sf):
     )
 
 
+def _q_moving_avg(spark, sf):
+    """Rolling window frame: 4-event moving average of value per user
+    (feature-engineering staple for training pipelines)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg_4"),
+    )
+
+
+def _q_cumulative_events(spark, sf):
+    """Cumulative per-key counters (running count + running sum)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("cum_events"),
+        F.round(F.sum("value").over(w), 4).alias("cum_value"),
+    )
+
+
 # ------------------------------------------------- text / training-data
 
 def _q_text_token_count(spark, sf):
@@ -470,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_filter": _q_cdc_op_filter,
         "changelog_parse_json": _q_changelog_parse_json,
         "sessionize": _q_sessionize,
+        "moving_avg": _q_moving_avg,
+        "cumulative_events": _q_cumulative_events,
         "fingerprint_report": _q_fingerprint_report,
         "rt_histogram": _q_rt_histogram,
         "summary_report": _q_summary_report,
@@ -572,6 +606,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(session_id) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg_4
+            FROM events
+        """,
+        "cumulative_events": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+            FROM events
         """,
         "fingerprint_report": """
             SELECT md5(event_type || '|' || regexp_replace(props, '[0-9]+', '?', 'g')) AS fingerprint,
