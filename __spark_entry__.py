@@ -376,6 +376,61 @@ def _q_outer_join_order_counts(spark, sf):
     )
 
 
+def _q_cdc_lake_roundtrip(spark, sf):
+    """THE ENGINE ITSELF under the correctness gate: map the events table
+    to a changelog (error→D, signup→I, else U; key=(user_id, event_id%8)),
+    apply it through the real CdcPipeline (atomic-snapshot lake table,
+    single-shuffle merge, offsets, tombstones), read the final state back.
+    The oracle is the equivalent last-writer-wins SQL — so the driver
+    verifies the actual MERGE path, not just a window-function shadow."""
+    import shutil
+    import tempfile
+
+    from polardbx_tools_spark.lake.merge import merge_into
+    from polardbx_tools_spark.lake.table import LakeTable
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    ev = _t(spark, sf, "events")
+    changelog = ev.select(
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("source_lsn"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-rt-")
+    try:
+        schema = StructType([
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("text", StringType(), True),
+            StructField("ts", TimestampType(), True),
+        ])
+        table = LakeTable.create(f"{tmp}/t", schema, bucket_key="conv_id",
+                                 bucket_count=8)
+        # two microbatches so cross-batch LWW + tombstones are exercised
+        mid = changelog.agg(F.expr("percentile_approx(source_lsn, 0.5)")).collect()[0][0]
+        merge_into(spark, table, changelog.filter(F.col("source_lsn") <= mid), 0)
+        merge_into(spark, table, changelog.filter(F.col("source_lsn") > mid), 1)
+        out = table.read(spark).select(
+            "conv_id", "turn_idx", "text",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from files
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_moving_avg(spark, sf):
     """Rolling window frame: 4-event moving average of value per user
     (feature-engineering staple for training pipelines)."""
@@ -502,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_filter": _q_cdc_op_filter,
         "changelog_parse_json": _q_changelog_parse_json,
         "sessionize": _q_sessionize,
+        "cdc_lake_roundtrip": _q_cdc_lake_roundtrip,
         "moving_avg": _q_moving_avg,
         "cumulative_events": _q_cumulative_events,
         "fingerprint_report": _q_fingerprint_report,
@@ -606,6 +662,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(session_id) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "cdc_lake_roundtrip": """
+            WITH ch AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 8 AS INTEGER) AS turn_idx,
+                     event_type, ts, event_id,
+                     CAST(user_id % 4 AS INTEGER) AS part
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                         ORDER BY ts DESC, event_id DESC, part DESC) AS rn
+              FROM ch)
+            SELECT conv_id, turn_idx,
+                   event_type AS text,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM r WHERE rn = 1 AND event_type <> 'error'
         """,
         "moving_avg": """
             SELECT event_id, user_id,
