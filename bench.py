@@ -291,7 +291,12 @@ def write_bench_md(legs: dict, eff: float, queries: dict, substrate: dict | None
         "|---|---|",
     ]
     lines += [f"| {k} | {v} |" for k, v in sorted(queries.items())]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    root = os.path.dirname(os.path.abspath(__file__))
+    extra = os.path.join(root, "BENCH_EXTRA.md")
+    if os.path.exists(extra):  # one-off measured sections (50M run, skew run)
+        with open(extra, encoding="utf-8") as f:
+            lines += ["", f.read().rstrip()]
+    with open(os.path.join(root, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
