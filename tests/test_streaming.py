@@ -82,3 +82,52 @@ def test_stream_restart_with_new_files(spark, tmp_path):
     want = normalize(replay_oracle(cl.toPandas(), PAYLOAD), PAYLOAD)
     pdt.assert_frame_equal(got, want, check_dtype=False)
     assert rows_phase1 > 0
+
+
+def test_stream_schema_evolution_on_restart(spark, tmp_path):
+    """The tail starts with the early-stream schema (no `tool`); after a
+    restart with the evolved schema, the table evolves additively and
+    converges to the full replay (the streaming analog of DDL WITH mode)."""
+    import glob
+    import os
+    import shutil
+
+    from polardbx_tools_spark.changelog.generator import split_for_evolution
+
+    spec = ChangelogSpec(n_events=1000, n_convs=50, seed=77, evolution_lsn=500)
+    cl = generate_changelog(spark, spec)
+    pre, post = split_for_evolution(cl, 500)
+
+    src_pre, src_post = str(tmp_path / "pre"), str(tmp_path / "post")
+    os.makedirs(src_pre), os.makedirs(src_post)
+
+    def land(df, d, name):
+        seg = str(tmp_path / f"_seg_{name}")
+        df.coalesce(1).write.parquet(seg)
+        shutil.move(glob.glob(seg + "/*.parquet")[0], f"{d}/{name}.parquet")
+
+    land(pre, src_pre, "seg1")
+    land(post, src_post, "seg2")
+
+    table = str(tmp_path / "t")
+    # phase 1: early-stream schema tail
+    q = start_cdc_stream(
+        spark, src_pre, changelog_schema(with_tool=False), table,
+        checkpoint_dir=str(tmp_path / "ckpt1"), bucket_count=8,
+    )
+    q.awaitTermination(120)
+    pipe = CdcPipeline(spark, table, bucket_count=8)
+    assert "tool" not in [f.name for f in pipe.table.schema.fields]
+
+    # phase 2: restart the tail on the evolved stream (new source dir +
+    # checkpoint, same table) — schema must evolve additively
+    q2 = start_cdc_stream(
+        spark, src_post, changelog_schema(with_tool=True), table,
+        checkpoint_dir=str(tmp_path / "ckpt2"), bucket_count=8,
+    )
+    q2.awaitTermination(120)
+    assert "tool" in [f.name for f in pipe.table.schema.fields]
+
+    got = normalize(pipe.read_transcripts().toPandas(), PAYLOAD)
+    want = normalize(replay_oracle(cl.toPandas(), PAYLOAD), PAYLOAD)
+    pdt.assert_frame_equal(got, want, check_dtype=False)
