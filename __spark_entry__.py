@@ -326,6 +326,43 @@ def _q_join_revenue_by_nation(spark, sf):
     )
 
 
+def _q_rollup_revenue(spark, sf):
+    """ROLLUP aggregation (engine addition; the reference has no grouping
+    sets) — revenue by (nation, order priority) with subtotals."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s_ = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    dec = lambda col: col.cast("decimal(18,4)")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s_, li.l_suppkey == s_.s_suppkey)
+        .join(F.broadcast(n), s_.s_nationkey == n.n_nationkey)
+    )
+    return base.rollup("n_name", "o_orderpriority").agg(
+        F.round(
+            F.sum(dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - dec(F.col("l_discount")))).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def _q_distinct_aggregates(spark, sf):
+    """Distinct aggregates: exact distinct users and event types per
+    op-class (the distinct-agg operator class)."""
+    ev = _t(spark, sf, "events")
+    op_class = F.when(F.col("event_type").isin("view", "click"), "DQL").otherwise("DML")
+    return (
+        ev.groupBy(op_class.alias("op_class"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
 def _q_topk_orders(spark, sf):
     """Deterministic top-k (rank window, ref has no LIMIT — engine adds)."""
     o = _t(spark, sf, "orders")
@@ -578,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_quiet_customers": _q_anti_join_quiet_customers,
         "outer_join_order_counts": _q_outer_join_order_counts,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "rollup_revenue": _q_rollup_revenue,
+        "distinct_aggregates": _q_distinct_aggregates,
         "topk_orders": _q_topk_orders,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
@@ -821,6 +860,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE c_nationkey = s_nationkey
             GROUP BY n_name
+        """,
+        "rollup_revenue": """
+            SELECT n_name, o_orderpriority,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, o_orderpriority)
+        """,
+        "distinct_aggregates": """
+            SELECT CASE WHEN event_type IN ('view','click') THEN 'DQL'
+                        ELSE 'DML' END AS op_class,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
         """,
         "topk_orders": """
             SELECT rank, o_orderkey, round(o_totalprice, 2) AS total_price
