@@ -79,8 +79,14 @@ def compact(
                     for fn in os.listdir(os.path.join(staging, d))
                     if fn.endswith(".parquet")
                 )
+    # expected_version guards against a merge committing between compact's
+    # snapshot read and this commit: without it the compacted file lists
+    # would silently revert the merge's buckets while its offsets stayed
+    # advanced — permanently losing those events. On conflict the caller
+    # just retries compaction against the new snapshot.
     table.commit(replaced_buckets=replaced, offsets_updates={},
-                 properties={"op": "compact"})
+                 properties={"op": "compact"},
+                 expected_version=snap.version)
     files_after = sum(len(v) for v in replaced.values())
     return {"buckets": len(todo), "files_before": files_before,
             "files_after": files_after, "rows": n_rows}
@@ -98,21 +104,35 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
     return expire
 
 
-def vacuum(table: LakeTable) -> list[str]:
+def vacuum(table: LakeTable, grace_seconds: float = 300.0) -> list[str]:
     """Delete data files referenced by NO remaining snapshot (orphans
-    from crashed commits + files of expired versions)."""
+    from crashed commits + files of expired versions).
+
+    ``grace_seconds`` protects in-flight commits: files younger than the
+    grace window are skipped even if unreferenced, because a concurrent
+    merge stages its files under ``data/v<next>`` BEFORE the pointer flip
+    (the same reason Iceberg's ``remove_orphan_files`` uses an age
+    cutoff). Pass 0 only when no writer can be running."""
+    import time as _time
+
     from polardbx_tools_spark.lake.table import DATA_DIR
 
     live: set[str] = set()
     for v in table.snapshots():
         live.update(table.snapshot(v).all_files())
     removed: list[str] = []
+    cutoff = _time.time() - grace_seconds
     data_root = os.path.join(table.path, DATA_DIR)
     for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
         for fn in filenames:
             full = os.path.join(dirpath, fn)
             rel = os.path.relpath(full, table.path)
             if rel not in live and fn.endswith(".parquet"):
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly staged by an in-flight commit
+                except OSError:
+                    continue
                 os.remove(full)
                 removed.append(rel)
         if not os.listdir(dirpath):

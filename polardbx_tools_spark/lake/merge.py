@@ -167,12 +167,16 @@ def merge_into(
     )
     stats.batch_events = sum(int(r["events"] or 0) for r in part_rows)
     stats.invalid_events = sum(int(r["invalid"] or 0) for r in part_rows)
+    # max_lsn is None only when EVERY event of that source partition has a
+    # NULL LSN — those rows are all invalid (quarantine flags null LSNs),
+    # there is no offset to advance to, so the partition is skipped rather
+    # than crashing on int(None).
     stats.per_partition = {
         int(r[PART_COL]): {"events": int(r["events"] or 0),
                            "max_lsn": int(r["max_lsn"]),
                            "winners": 0, "conflicts": 0}
         for r in part_rows
-        if r[PART_COL] is not None
+        if r[PART_COL] is not None and r["max_lsn"] is not None
     }
     mark("stats_agg")
     if stats.batch_events == 0:
@@ -344,7 +348,12 @@ def merge_into(
                 for fn in os.listdir(os.path.join(staging, d))
                 if fn.endswith(".parquet")
             )
-    offsets_updates = {p: v["max_lsn"] for p, v in stats.per_partition.items() if v["events"]}
+    # offsets advance for EVERY partition with a known max_lsn — including
+    # partitions whose events were all quarantined in this mixed batch
+    # (invariant: quarantined events are consumed; same as the all-invalid
+    # early-return path above). Filtering to v["events"] here would re-read
+    # and re-quarantine those events on every resume.
+    offsets_updates = {p: v["max_lsn"] for p, v in stats.per_partition.items()}
     committed = table.commit(
         replaced_buckets=replaced,
         offsets_updates=offsets_updates,

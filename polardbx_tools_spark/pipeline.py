@@ -38,6 +38,7 @@ from polardbx_tools_spark.lake.merge import (
     LSN_COL,
     OP_COL,
     PART_COL,
+    TS_COL,
     MergeStats,
     merge_into,
 )
@@ -106,10 +107,15 @@ class CdcPipeline:
         return df.filter(F.col(LSN_COL) > committed)
 
     def _split_quarantine(self, df: DataFrame) -> tuple[DataFrame, F.Column]:
+        # NULL source_partition / ts are malformed too: such events would
+        # merge but escape offset accounting and lineage, so they would be
+        # idempotently re-merged on every resume (and never counted).
         bad = (
             F.col(OP_COL).isNull()
             | ~F.col(OP_COL).isin(*VALID_OPS)
             | F.col(LSN_COL).isNull()
+            | F.col(PART_COL).isNull()
+            | F.col(TS_COL).isNull()
         )
         for k in self.key_cols:
             bad = bad | F.col(k).isNull()

@@ -59,7 +59,11 @@ def test_expire_and_vacuum(spark, tmp_table_path):
     expired = expire_snapshots(pipe.table, keep_last=2)
     assert expired and len(pipe.table.snapshots()) == 2
 
-    removed = vacuum(pipe.table)
+    # default grace window protects freshly-staged files (all files here
+    # are seconds old, so nothing may be reclaimed yet)
+    assert vacuum(pipe.table) == []
+
+    removed = vacuum(pipe.table, grace_seconds=0)
     assert removed, "expired versions' files must be reclaimed"
     live = set(pipe.table.snapshot().all_files())
     remaining = {

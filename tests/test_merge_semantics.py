@@ -104,6 +104,64 @@ def test_quarantine_and_error_budget(spark, tmp_table_path):
         pipe.apply_batch(over, batch_id=1)
 
 
+def test_all_quarantined_partition_still_advances_offsets(spark, tmp_table_path):
+    """Invariant: quarantined events advance offsets. A mixed batch where
+    one source partition's events are ALL malformed must still advance
+    that partition's offset — otherwise a resume re-reads and
+    re-quarantines them, duplicating _errors rows forever."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4, max_errors=10)
+    pipe.ensure_table(with_tool=True)
+    mixed = make_df(spark, [
+        ev("I", "c1", 0, "ok", 10, 1, part=0),
+        ("X", "c2", 0, "u", "t", None, T0, 7, 1),   # bad op, part 1
+        ("Y", "c3", 0, "u", "t", None, T0, 8, 1),   # bad op, part 1
+    ])
+    stats = pipe.apply_batch(mixed, batch_id=0)
+    assert stats.batch_events == 1 and stats.invalid_events == 2
+    assert pipe.table.offsets() == {0: 1, 1: 8}
+
+    # replaying the same window is a no-op: nothing merged, nothing
+    # re-quarantined (offsets filter already consumed the bad events)
+    stats2 = pipe.apply_batch(mixed, batch_id=1)
+    assert stats2.batch_events == 0 and stats2.invalid_events == 0
+    errs = spark.read.parquet(str(tmp_table_path) + "/_errors")
+    assert errs.count() == 2
+
+
+def test_all_null_lsn_partition_does_not_crash(spark, tmp_table_path):
+    """A source partition whose events ALL have NULL LSN must be
+    quarantined (not crash the stats pass on int(None))."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4, max_errors=10)
+    pipe.ensure_table(with_tool=True)
+    batch = make_df(spark, [
+        ev("I", "c1", 0, "ok", 10, 1, part=0),
+        ("I", "c2", 0, "u", "t", None, T0, None, 1),  # null lsn
+        ("U", "c3", 0, "u", "t", None, T0, None, 1),  # null lsn
+    ])
+    stats = pipe.apply_batch(batch, batch_id=0)
+    assert stats.batch_events == 1 and stats.invalid_events == 2
+    # no offset exists to advance to for partition 1
+    assert pipe.table.offsets() == {0: 1}
+    assert pipe.read_transcripts().count() == 1
+
+
+def test_null_partition_and_null_ts_quarantined(spark, tmp_table_path):
+    """NULL source_partition / NULL ts events are malformed: merging them
+    would bypass offset accounting (idempotent re-merge on every resume)."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4, max_errors=10)
+    pipe.ensure_table(with_tool=True)
+    batch = make_df(spark, [
+        ev("I", "c1", 0, "ok", 10, 1, part=0),
+        ("I", "c2", 0, "u", "t", None, T0, 2, None),   # null partition
+        ("I", "c3", 0, "u", "t", None, None, 3, 0),    # null ts
+    ])
+    stats = pipe.apply_batch(batch, batch_id=0)
+    assert stats.batch_events == 1 and stats.invalid_events == 2
+    assert pipe.read_transcripts().count() == 1
+    errs = spark.read.parquet(str(tmp_table_path) + "/_errors")
+    assert errs.count() == 2
+
+
 def test_offsets_filter_skips_committed(spark, tmp_table_path):
     pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4)
     pipe.ensure_table(with_tool=True)
