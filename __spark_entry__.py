@@ -364,13 +364,21 @@ def _q_distinct_aggregates(spark, sf):
 
 
 def _q_topk_orders(spark, sf):
-    """Deterministic top-k (rank window, ref has no LIMIT — engine adds)."""
+    """Deterministic top-k (ref has no LIMIT — engine adds).
+
+    orderBy().limit(k) plans TakeOrderedAndProject — a distributed
+    partial top-k per partition reduced on the driver — instead of
+    funnelling the whole table through a single-partition global window.
+    Only the k survivors are ranked (asserted in tests/test_plans.py)."""
     o = _t(spark, sf, "orders")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter("rank <= 20")
-        .select("rank", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
     )
 
 
@@ -462,8 +470,17 @@ def _q_cdc_lake_roundtrip(spark, sf):
             "conv_id", "turn_idx", "text",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from files
-        return out
+        # Detach from the lake table's files WITHOUT collecting to the
+        # driver: write the final state to a session-temp parquet (a
+        # distributed executor-side write) and return a scan of it. The
+        # dir outlives this function and is reaped at interpreter exit.
+        import atexit
+
+        keep = tempfile.mkdtemp(prefix="cdc-rt-out-")
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        out_path = f"{keep}/state.parquet"
+        out.write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -108,6 +108,16 @@ def test_merge_write_job_has_one_exchange(spark, tmp_path):
     assert p.count("Exchange") == 1, p
 
 
+def test_topk_plans_take_ordered_not_global_window(spark):
+    """topk_orders must plan TakeOrderedAndProject (distributed partial
+    top-k) — NOT a single-partition global window over the whole table."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["topk_orders"](spark, SF_DIR)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
 def test_scan_skips_python_for_builtin_ops(spark):
     """No BatchEvalPython / ArrowEval in plans of built-in operators —
     the hot path stays in WholeStageCodegen."""
