@@ -564,6 +564,9 @@ def _q_dedup_normalized(spark, sf):
 
 
 def _q_dedup_jaccard_pairs(spark, sf):
+    """EXACT all-pairs jaccard >= 0.8 (complete, no blocking artifacts);
+    the oracle is the equivalent all-pairs SQL with the implied
+    size-ratio prune."""
     d = _t(spark, sf, "documents")
     return dedup.jaccard_pairs(d, threshold=0.8).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -571,15 +574,21 @@ def _q_dedup_jaccard_pairs(spark, sf):
 
 
 def _q_dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 signatures)."""
+    """MinHash+LSH near-dup pairs. Oracle: golden parquet from an
+    independent pure-Python reimplementation (tools/make_golden.py) —
+    DuckDB cannot evaluate Spark's xxhash64."""
     d = _t(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
+    return dedup.minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, verify_threshold=0.4
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (no SQL oracle: bit-vote aggregation)."""
+    """SimHash near-dup pairs. Oracle: golden parquet (see above)."""
     d = _t(spark, sf, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=6)
+    return dedup.simhash_near_pairs(d, max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_ann_cosine_topk(spark, sf):
@@ -594,11 +603,20 @@ def _q_ann_cosine_topk(spark, sf):
 
 
 def _q_ann_lsh_topk(spark, sf):
-    """LSH-bucketed ANN (no SQL oracle: hyperplane hashing)."""
+    """Multi-table LSH ANN. The oracle SQL replicates the deterministic
+    hyperplanes as literal arrays (generated by the same public
+    splitmix mixing), so DuckDB evaluates the identical bucketing."""
     e = _t(spark, sf, "embeddings")
-    dim = len(e.select("embedding").first()[0])
     q = e.filter(F.col("vec_id") < 8)
-    return similarity.lsh_topk(e, q, dim=dim, k=5, n_planes=6)
+    out = similarity.lsh_topk(
+        e, q, dim=64, k=5, n_planes=6, n_tables=8
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cos_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # ----------------------------------------------------------------- tables
@@ -972,15 +990,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": f"""
             WITH base AS (
-              SELECT doc_id AS id, {_WSET} AS ws,
-                     CAST(floor(len({_WSET}) / 10) AS BIGINT) AS blk
+              SELECT doc_id AS id, {_WSET} AS ws, len({_WSET}) AS n
               FROM documents)
             SELECT a.id AS id_a, b.id AS id_b,
                    round(len(list_intersect(a.ws, b.ws)) * 1.0 /
                          len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
-            FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+            FROM base a JOIN base b
+              ON a.id < b.id AND 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n
             WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
                   len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+        """,
+        # golden oracles: DuckDB cannot evaluate Spark's xxhash64, so the
+        # expected outputs are produced by an INDEPENDENT pure-Python
+        # reimplementation (tools/make_golden.py) at the gate's sf=0.01
+        # and checked in. tests/test_golden_oracles.py re-derives them at
+        # sf0.001 and verifies the XXH64 primitive against Spark.
+        "dedup_minhash_lsh": """
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('/root/repo/tests/golden/dedup_minhash_lsh.sf0.01.parquet')
+        """,
+        "dedup_simhash": """
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('/root/repo/tests/golden/dedup_simhash.sf0.01.parquet')
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
@@ -998,6 +1029,63 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
             WHERE rank <= 5
         """,
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk: engine-specific
-        # hash functions (xxhash64 / hyperplane LSH) — rows-only check.
+        "ann_cosine_topk_np": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                     (sqrt(list_sum(list_transform(q.q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+              FROM embeddings c CROSS JOIN q
+              WHERE c.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, round(cosine, 3) AS cos_r, rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+            WHERE rank <= 5
+        """,
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
     }
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 8,
+                        seed: int = 42, k: int = 5) -> str:
+    """Generate the DuckDB oracle for the multi-table hyperplane LSH:
+    the deterministic planes are embedded as literal arrays, so DuckDB
+    computes the IDENTICAL bucketing + cosine ranking."""
+    from polardbx_tools_spark.operators.similarity import _hyperplane
+
+    def dot_sql(plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            "list_sum(list_transform(list_zip(embedding, " + arr + "), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    bucket_cols = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(_hyperplane(dim, t * n_planes + p, seed))} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        bucket_cols.append(f"({bits}) AS b{t}")
+    on = " OR ".join(f"c.b{t} = q.b{t}" for t in range(n_tables))
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding, {", ".join(bucket_cols)} FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+          FROM e c JOIN q ON c.vec_id <> q.vec_id AND ({on}))
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        WHERE rank <= {k}
+    """

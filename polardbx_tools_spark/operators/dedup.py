@@ -63,41 +63,152 @@ def word_set(col: Column) -> Column:
     return F.array_distinct(tokens(F.lower(col)))
 
 
+def _emit_size_keys(n: Column, threshold: float) -> Column:
+    """Partner-size keys for the exact size-ratio equi-join: a pair with
+    jaccard >= t satisfies min(|A|,|B|) >= t*max(|A|,|B|), so the LARGER
+    side emits every admissible smaller size and the smaller side is
+    keyed by its exact size. Turns the quadratic range predicate into an
+    equi-join (shuffle-partitionable; no nested-loop join)."""
+    lo = F.ceil(n * F.lit(threshold)).cast("int")
+    return F.sequence(lo, n.cast("int"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: Column | None = None,
     threshold: float = 0.8,
+    max_bitmask_vocab: int = 62,
 ) -> DataFrame:
-    """Exact word-set Jaccard over *blocked* candidate pairs.
+    """EXACT all-pairs word-set Jaccard self-join: every (id_a < id_b)
+    pair with jaccard >= threshold. Complete by construction (no
+    probabilistic blocking) — ``minhash_lsh_pairs`` is the approximate
+    scale path when exactness can be traded.
 
-    ``block_col`` bounds the quadratic term (default: token-count band —
-    near-dups have near-equal lengths). Returns (id_a, id_b, jaccard)
-    with id_a < id_b and jaccard >= threshold.
+    Two physical strategies behind one semantic:
+
+    * **dictionary + bitmask** (vocab <= ``max_bitmask_vocab``): tokens
+      are dictionary-encoded to bit positions, a word set becomes ONE
+      int64, and jaccard = bit_count(a&b)/bit_count(a|b) — pure integer
+      codegen, no array intersections. Identical masks are grouped
+      first, so the pair join runs over DISTINCT sets and expands back
+      to doc ids at the end (exact-dup groups cost linear work).
+    * **generic** (big vocab): per-doc sorted string sets verified with
+      array_intersect/array_union.
+
+    Both prune candidates with the exact size-ratio bound implied by the
+    threshold (min >= t*max), expressed as an equi-join on emitted
+    partner sizes — no O(n^2) nested loop, shuffles partition by size key.
     """
-    if block_col is None:
-        block_col = F.floor(F.size(word_set(F.col(text_col))) / F.lit(10))
     base = df.select(
-        F.col(id_col).alias("id"),
-        word_set(F.col(text_col)).alias("ws"),
-        block_col.alias("blk"),
+        F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws")
     )
-    # cost is O(candidate pairs) — exact verification is the point of this
-    # operator; use minhash_lsh_pairs as the sub-quadratic scale path
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("ws").alias("ws_a"), F.col("blk")
+    vocab_rows = (
+        base.select(F.explode("ws").alias("tok"))
+        .distinct()
+        .limit(max_bitmask_vocab + 1)
+        .collect()
     )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("ws").alias("ws_b"), F.col("blk")
+    if len(vocab_rows) <= max_bitmask_vocab:
+        return _jaccard_pairs_bitmask(
+            base, sorted(r["tok"] for r in vocab_rows), threshold
+        )
+    return _jaccard_pairs_generic(base, threshold)
+
+
+def _jaccard_pairs_bitmask(
+    base: DataFrame, vocab: list[str], threshold: float
+) -> DataFrame:
+    tok_bit = F.create_map(
+        *[
+            x
+            for i, t in enumerate(vocab)
+            for x in (F.lit(t), F.lit(1 << i).cast("long"))
+        ]
     )
-    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
-    union = F.size(F.array_union(F.col("ws_a"), F.col("ws_b")))
-    jac = (inter / union).cast("double")
+    mask = F.aggregate(
+        F.col("ws"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseOR(tok_bit[t]),
+    )
+    # group identical sets: the pair join runs over distinct masks only
+    groups = (
+        base.select("id", mask.alias("mask"))
+        .groupBy("mask")
+        .agg(F.collect_list("id").alias("ids"))
+        .withColumn("n", F.bit_count("mask"))
+    )
+
+    # within-group pairs: identical sets, jaccard exactly 1.0
+    same = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("x"), F.col("ids"))
+        .select("x", F.explode("ids").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("id_a"),
+            F.col("y").alias("id_b"),
+            F.lit(1.0).cast("double").alias("jaccard"),
+        )
+    )
+
+    # cross-group pairs: larger side emits admissible partner sizes
+    small = groups.select(
+        F.col("mask").alias("m_s"), F.col("ids").alias("ids_s"),
+        F.col("n").alias("n_s"), F.col("n").alias("k"),
+    )
+    large = groups.select(
+        F.col("mask").alias("m_l"), F.col("ids").alias("ids_l"),
+        F.col("n").alias("n_l"),
+        F.explode(_emit_size_keys(F.col("n"), threshold)).alias("k"),
+    )
+    inter = F.bit_count(F.col("m_s").bitwiseAND(F.col("m_l")))
+    union = F.bit_count(F.col("m_s").bitwiseOR(F.col("m_l")))
+    cross = (
+        small.join(large, on="k")
+        .filter(
+            (F.col("n_s") < F.col("n_l"))
+            | ((F.col("n_s") == F.col("n_l")) & (F.col("m_s") < F.col("m_l")))
+        )
+        .select(
+            "ids_s", "ids_l", (inter / union).cast("double").alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.explode("ids_s").alias("x"), "ids_l", "jaccard")
+        .select("x", F.explode("ids_l").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return same.unionByName(cross)
+
+
+def _jaccard_pairs_generic(base: DataFrame, threshold: float) -> DataFrame:
+    sized = base.withColumn("n", F.size("ws"))
+    small = sized.select(
+        F.col("id").alias("id_s"), F.col("ws").alias("ws_s"),
+        F.col("n").alias("n_s"), F.col("n").alias("k"),
+    )
+    large = sized.select(
+        F.col("id").alias("id_l"), F.col("ws").alias("ws_l"),
+        F.col("n").alias("n_l"),
+        F.explode(_emit_size_keys(F.col("n"), threshold)).alias("k"),
+    )
+    inter = F.size(F.array_intersect(F.col("ws_s"), F.col("ws_l")))
+    union = F.size(F.array_union(F.col("ws_s"), F.col("ws_l")))
     return (
-        a.join(b, on="blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        small.join(large, on="k")
+        .filter(
+            (F.col("n_s") < F.col("n_l"))
+            | ((F.col("n_s") == F.col("n_l")) & (F.col("id_s") < F.col("id_l")))
+        )
+        .select(
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+            (inter / union).cast("double").alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -116,19 +227,41 @@ def shingles(col: Column, k: int = 3) -> Column:
     )).otherwise(F.array(F.array_join(toks, " ")))
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, seed: int = 42, k: int = 3) -> Column:
-    """Array of ``num_hashes`` min-hashes over word k-shingles.
+def shingle_hashes(col: Column, k: int = 3) -> Column:
+    """Word k-shingles hashed to int64 — the set representation every
+    downstream minhash/jaccard step works on. Hashing the variable-length
+    strings ONCE (then deriving the signature family from the longs)
+    keeps the per-shingle string hash out of the ``num_hashes``-wide
+    signature loop."""
+    return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
 
-    Each hash_j = min over shingles of xxhash64(shingle, seed+j) — pure
-    JVM array expressions, vectorizable, no UDF.
+
+def minhash_signature_from_hashes(
+    hs: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """Array of ``num_hashes`` min-hashes over pre-hashed shingles.
+
+    hash_j = min over shingle hashes h of xxhash64(h, seed+j) — a
+    universal-hash family re-mix of the base hash, pure JVM array
+    expressions, no UDF, no string re-hash per j.
+
+    Implemented as ONE nested transform over a literal seed array (not
+    ``num_hashes`` unrolled subtrees): the expression tree stays O(1) so
+    plan analysis/codegen is milliseconds, and the inner lambda stays
+    UNARY — a two-parameter transform lambda would receive the element
+    INDEX as its second argument (PySpark's (x, i) form), silently
+    hashing with the wrong value.
     """
-    sh = shingles(col, k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(seed + j))))
-            for j in range(num_hashes)
-        ]
+    seeds = F.array(*[F.lit(seed + j) for j in range(num_hashes)])
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, s))),
     )
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, seed: int = 42, k: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hashes over word k-shingles."""
+    return minhash_signature_from_hashes(shingle_hashes(col, k), num_hashes, seed)
 
 
 def minhash_lsh_pairs(
@@ -150,14 +283,24 @@ def minhash_lsh_pairs(
     (recall, not precision, is probabilistic — standard LSH contract).
     """
     rows = num_hashes // bands
-    sig = df.select(
+    # band-join on IDS ONLY: the full shingle sets must not ride the
+    # bands-x explode through the shuffle (that inflates the dominant
+    # shuffle by the band count). Candidates are deduped as bare
+    # (id_a, id_b) pairs first; the hashed shingle sets are joined back
+    # exactly once for verification. Costs one extra scan of the corpus —
+    # scans are cheap, shuffled bytes are not.
+    from pyspark.storagelevel import StorageLevel
+
+    hs_df = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k_shingle).alias("sh"),
-        minhash_signature(F.col(text_col), num_hashes, seed, k_shingle).alias("sig"),
+        shingle_hashes(F.col(text_col), k_shingle).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = hs_df.select(
+        "id",
+        minhash_signature_from_hashes(F.col("hs"), num_hashes, seed).alias("sig"),
     )
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -174,17 +317,33 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
+    # the self-join (and the verify joins over hs_df) form diamond DAGs:
+    # persist the small derived relations so the signature pipeline runs
+    # once, not once per join side. banded is (id, band, bucket) — ~24 B
+    # per doc per band; hs_df is the hashed shingle sets (~8 B/shingle) —
+    # both disk-spillable and tiny relative to the corpus text.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    candidates = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (inter / union).cast("double").alias("jaccard"))
+        .select("id_a", "id_b")
         .distinct()
+    )
+    # verification jaccard over the hashed sets — identical value to the
+    # string-set jaccard (the shingle hash is injective modulo 64-bit
+    # collisions), int64 intersects instead of string intersects
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size(F.array_union(F.col("hs_a"), F.col("hs_b")))
+    return (
+        candidates
+        .join(hs_df.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), on="id_a")
+        .join(hs_df.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), on="id_b")
+        .select("id_a", "id_b", (inter / union).cast("double").alias("jaccard"))
         .filter(F.col("jaccard") >= verify_threshold)
     )
 

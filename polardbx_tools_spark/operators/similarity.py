@@ -153,11 +153,14 @@ def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id: sign bit per plane → integer."""
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = 12, seed: int = 42, plane_offset: int = 0
+) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane → integer.
+    ``plane_offset`` selects a disjoint plane family per hash table."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = _hyperplane(dim, p, seed)
+        plane = _hyperplane(dim, plane_offset + p, seed)
         d = F.aggregate(
             F.zip_with(
                 vec,
@@ -176,39 +179,62 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's LSH bucket.
+    """Approximate top-k: multi-table random-hyperplane LSH.
 
-    At scale the bucket join replaces the full cross product — candidate
-    count drops by ~2^n_planes. Recall is tunable via n_planes (fewer
-    planes → bigger buckets → higher recall, more compute).
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each;
+    a corpus vector is a candidate for a query if they share a bucket in
+    ANY table (standard OR-amplification: recall 1-(1-p^k)^L). The
+    queries ride a broadcast, so the exploded corpus (×n_tables) streams
+    through a broadcast join with NO shuffle; cosine is computed in
+    place and the only shuffle is the (query_id, neighbor_id, cosine)
+    triple dedup + top-k — candidates ∝ bucket sizes, never the corpus
+    cross product.
     """
     from pyspark.sql.window import Window
+
+    def tables(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(
+                        vec, dim, n_planes, seed, plane_offset=t * n_planes
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
 
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
-    )
+        F.explode(tables(F.col(vec_col))).alias("tb"),
+    ).select("neighbor_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     qb = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
-        )
+            F.explode(tables(F.col(vec_col))).alias("tb"),
+        ).select("query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     )
     scored = (
-        cb.join(qb, on="bucket")
+        cb.join(qb, on=["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
+        # a pair colliding in several tables scores identically each time:
+        # max() dedups without a join-back
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

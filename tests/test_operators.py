@@ -32,7 +32,7 @@ def test_exact_and_normalized_dedup(docs):
 
 
 def test_jaccard_and_minhash_find_near_dups(docs):
-    jp = dedup.jaccard_pairs(docs, threshold=0.5, block_col=F.lit(0))
+    jp = dedup.jaccard_pairs(docs, threshold=0.5)
     pairs = {(r["id_a"], r["id_b"]) for r in jp.collect()}
     assert (1, 2) in pairs and (1, 4) in pairs
     assert not any(5 in p or 6 in p for p in pairs)

@@ -1,0 +1,141 @@
+"""Generate golden oracle parquets for the hash-based dedup operators.
+
+``dedup_minhash_lsh`` and ``dedup_simhash`` use Spark's xxhash64, which
+DuckDB cannot evaluate — so their oracles are golden files produced by
+this INDEPENDENT pure-Python reimplementation of the same published
+algorithms (MinHash banding LSH, SimHash bit-voting), sharing only the
+public XXH64 primitive (tools/pyxxh64.py, itself verified against Spark
+in tests/test_golden_oracles.py). No Spark or operator code is imported
+here: if the operators' Spark pipelines are wrong, the goldens disagree.
+
+Usage: python tools/make_golden.py   # writes tests/golden/*.parquet
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+
+from tools.pyxxh64 import _signed, hash_int, hash_long, xxh64_signed
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tests", "golden")
+
+NUM_HASHES = 32
+BANDS = 8
+SEED = 42
+K_SHINGLE = 3
+VERIFY_THRESHOLD = 0.4
+MAX_HAMMING = 6
+_M = 0xFFFFFFFFFFFFFFFF
+
+
+def toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.lower().strip()) if t]
+
+
+def shingles(text: str, k: int = K_SHINGLE) -> list[str]:
+    t = toks(text)
+    if len(t) >= k:
+        out, seen = [], set()
+        for i in range(len(t) - k + 1):
+            s = " ".join(t[i:i + k])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+    return [" ".join(t)]
+
+
+def sig_hash(h_base: int, j: int) -> int:
+    """Replicates Spark ``F.xxhash64(hashCol, F.lit(SEED + j))`` on a
+    LONG column: chained child hashing from the default seed 42 —
+    hash_long(h, 42) then hash_int(SEED+j, ·)."""
+    return _signed(hash_int(SEED + j, hash_long(h_base, 42)))
+
+
+def minhash_lsh_golden(docs: pd.DataFrame) -> pd.DataFrame:
+    rows_per_band = NUM_HASHES // BANDS
+    sigs: dict[int, tuple[int, ...]] = {}
+    sets: dict[int, frozenset[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        base = [xxh64_signed(s, 42) for s in shingles(text)]
+        sets[doc_id] = frozenset(base)
+        sigs[doc_id] = tuple(
+            min(sig_hash(h, j) for h in base) for j in range(NUM_HASHES)
+        )
+
+    candidates: set[tuple[int, int]] = set()
+    for b in range(BANDS):
+        buckets: dict[tuple[int, ...], list[int]] = {}
+        for doc_id, sig in sigs.items():
+            key = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            buckets.setdefault(key, []).append(doc_id)
+        for ids in buckets.values():
+            for x, y in itertools.combinations(sorted(ids), 2):
+                candidates.add((x, y))
+
+    out = []
+    for x, y in sorted(candidates):
+        inter = len(sets[x] & sets[y])
+        union = len(sets[x] | sets[y])
+        jac = inter / union if union else 0.0
+        if jac >= VERIFY_THRESHOLD:
+            out.append((x, y, round(jac, 6)))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+    )
+
+
+def simhash64(text: str) -> int:
+    votes = [0] * 64
+    for t in toks(text):
+        h = xxh64_signed(t, 42)
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    u = 0
+    for i in range(64):
+        if votes[i] > 0:
+            u |= 1 << i
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def simhash_golden(docs: pd.DataFrame) -> pd.DataFrame:
+    sh = {d: simhash64(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    blocks: dict[int, list[int]] = {}
+    for doc_id, h in sh.items():
+        blocks.setdefault((h & _M) >> 48, []).append(doc_id)
+    out = []
+    for ids in blocks.values():
+        for x, y in itertools.combinations(sorted(ids), 2):
+            ham = bin((sh[x] ^ sh[y]) & _M).count("1")
+            if ham <= MAX_HAMMING:
+                out.append((x, y, ham))
+    out.sort()
+    return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+    )
+
+
+def main() -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for sf in ("0.001", "0.01"):
+        docs = pd.read_parquet(f"/root/testdata/sf{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        mh = minhash_lsh_golden(docs)
+        sim = simhash_golden(docs)
+        mh.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_minhash_lsh.sf{sf}.parquet"),
+                      index=False)
+        sim.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_simhash.sf{sf}.parquet"),
+                       index=False)
+        print(f"sf{sf}: minhash_lsh={len(mh)} pairs, simhash={len(sim)} pairs")
+
+
+if __name__ == "__main__":
+    main()
