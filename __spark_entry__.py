@@ -207,6 +207,40 @@ def _q_masking_caesar(spark, sf):
     return c.select("c_custkey", masking.caesar(F.col("c_name"), 3).alias("enc"))
 
 
+def _q_update_transforms(spark, sf):
+    """K4/K5 deterministic update transforms applied through the CDC
+    last-writer-wins shadow (ref UpdateUtil.java:198-219,259): the
+    winning event per key is rewritten with REVERSE(text) / value*2."""
+    from polardbx_tools_spark.operators import transforms
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            transforms.update_reverse(F.col("event_type")).alias("rev_type"),
+            F.round(transforms.update_double(F.col("value")), 6).alias("value_x2"),
+        )
+    )
+
+
+def _q_masking_sm4_roundtrip(spark, sf):
+    """SM4 cipher parity (ref P8, Sm4Cipher.java:35-55): encrypt+decrypt
+    must round-trip; the oracle is the identity projection."""
+    c = _t(spark, sf, "customer")
+    key = "0123456789abcdeffedcba9876543210"
+    return c.select(
+        "c_custkey",
+        masking.sm4_decrypt(
+            masking.sm4_encrypt(F.col("c_name"), key), key
+        ).alias("name_rt"),
+    )
+
+
 def _q_fingerprint_pandas_udf(spark, sf):
     """Arrow-batched pandas-UDF SQL-template fingerprint (ref P9 frodo
     deparameterizer, Util.java:385-462) — the vectorized-UDF exemplar,
@@ -639,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masking_hide": _q_masking_hide,
         "masking_floor": _q_masking_floor,
         "masking_caesar": _q_masking_caesar,
+        "masking_sm4_roundtrip": _q_masking_sm4_roundtrip,
+        "update_transforms": _q_update_transforms,
         "fingerprint_pandas_udf": _q_fingerprint_pandas_udf,
         "ann_cosine_topk_np": _q_ann_cosine_topk_np,
         "hex_roundtrip": _q_hex_roundtrip,
@@ -825,6 +861,17 @@ def oracle_sql() -> dict[str, str]:
                      'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
                      'defghijklmnopqrstuvwxyzabcDEFGHIJKLMNOPQRSTUVWXYZABC') AS enc
             FROM customer
+        """,
+        "masking_sm4_roundtrip": """
+            SELECT c_custkey, c_name AS name_rt FROM customer
+        """,
+        "update_transforms": """
+            SELECT user_id,
+                   reverse(event_type) AS rev_type,
+                   round(value * 2, 6) AS value_x2
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1
         """,
         "fingerprint_pandas_udf": """
             SELECT event_id,

@@ -69,6 +69,8 @@ class MergeStats:
     deletes: int = 0
     conflicts_resolved: int = 0  # events that lost last-writer-wins (dup/late)
     affected_buckets: list[int] = field(default_factory=list)
+    min_ts: object = None  # event-time bounds of the batch (rate-factor replay)
+    max_ts: object = None
     wall_ms: int = 0
     committed_version: int | None = None
     # source_partition -> {"events": n, "winners": n, "conflicts": n, "max_lsn": n}
@@ -161,10 +163,18 @@ def merge_into(
             # offsets advance over quarantined events too: a skipped bad
             # line is consumed (ref -maxError skip semantics)
             F.max(LSN_COL).alias("max_lsn"),
+            # event-time bounds ride the same pass (rate-factor replay
+            # pacing + monitor delay gauge; ref MonitorThread.java:92-95)
+            F.min(TS_COL).alias("min_ts"),
+            F.max(TS_COL).alias("max_ts"),
             F.collect_set("_b").alias("buckets"),  # nulls (invalid) excluded
         )
         .collect()
     )
+    ts_los = [r["min_ts"] for r in part_rows if r["min_ts"] is not None]
+    ts_his = [r["max_ts"] for r in part_rows if r["max_ts"] is not None]
+    stats.min_ts = min(ts_los) if ts_los else None
+    stats.max_ts = max(ts_his) if ts_his else None
     stats.batch_events = sum(int(r["events"] or 0) for r in part_rows)
     stats.invalid_events = sum(int(r["invalid"] or 0) for r in part_rows)
     # max_lsn is None only when EVERY event of that source partition has a

@@ -7,7 +7,9 @@ Reference parity (SURVEY.md §2.3 P6-P8):
   (``model/mask/HashMasker.java:51-58``, MD5+Base64 there; MD5-hex +
   SHA2 offered here);
 * encryption — AES (``model/encrypt/AesCipher.java``) via Spark's
-  builtin ``aes_encrypt``/``aes_decrypt``;
+  builtin ``aes_encrypt``/``aes_decrypt``; SM4
+  (``model/encrypt/Sm4Cipher.java:35-55``) via the pure-Python standard
+  implementation in ``operators.sm4`` as Arrow-batched pandas UDFs;
 * binary hex round-trip (``worker/util/ExportUtil.java:92-96``,
   ``ImportUtil.java:83-87``).
 
@@ -72,6 +74,44 @@ def caesar(col: Column, shift: int = 3) -> Column:
         + upper[shift % 26:] + upper[: shift % 26]
     )
     return F.translate(col, src, dst)
+
+
+def sm4_encrypt(col: Column, key_hex: str) -> Column:
+    """SM4-ECB/PKCS#7 column encryption (ref Sm4Cipher.java:35-55) as an
+    Arrow-batched pandas UDF over the pure-Python cipher (operators.sm4,
+    KAT-verified). Returns lowercase hex ciphertext. UDF is the right
+    call here: there is no JVM SM4 builtin, and the cipher is pure CPU
+    per value — Arrow batching keeps the transfer cost amortized."""
+    from pyspark.sql.functions import pandas_udf
+
+    key = bytes.fromhex(key_hex)
+
+    @pandas_udf("string")
+    def _enc(s):
+        from polardbx_tools_spark.operators.sm4 import encrypt_ecb
+
+        return s.map(
+            lambda v: None if v is None else encrypt_ecb(v.encode("utf-8"), key).hex()
+        )
+
+    return _enc(col)
+
+
+def sm4_decrypt(col: Column, key_hex: str) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    key = bytes.fromhex(key_hex)
+
+    @pandas_udf("string")
+    def _dec(s):
+        from polardbx_tools_spark.operators.sm4 import decrypt_ecb
+
+        return s.map(
+            lambda v: None if v is None
+            else decrypt_ecb(bytes.fromhex(v), key).decode("utf-8")
+        )
+
+    return _dec(col)
 
 
 def encrypt_aes(col: Column, key: str, mode: str = "GCM") -> Column:

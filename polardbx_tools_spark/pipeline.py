@@ -53,6 +53,15 @@ class RunResult:
     events_applied: int = 0
     events_quarantined: int = 0
     stats: list[MergeStats] = field(default_factory=list)
+    # rate-factor replay delay gauge (seconds behind the event-time
+    # schedule after each batch; ref frodo MonitorThread.java:92-95)
+    replay_delays: list[float] = field(default_factory=list)
+
+    def replay_delay_summary(self) -> dict:
+        d = self.replay_delays
+        if not d:
+            return {}
+        return {"min": min(d), "max": max(d), "avg": sum(d) / len(d)}
 
 
 class CdcPipeline:
@@ -173,6 +182,7 @@ class CdcPipeline:
         stop_after_batches: int | None = None,
         with_tool: bool = False,
         max_events_per_sec: float | None = None,
+        rate_factor: float | None = None,
         monitor: bool = False,
         compact_every: int | None = None,
     ) -> RunResult:
@@ -183,8 +193,16 @@ class CdcPipeline:
         from committed offsets and must converge to the same final state.
 
         ``max_events_per_sec`` paces the loop (reference TPS limiting,
-        Guava RateLimiter per consumer ``BaseWorkHandler.java:64-81``, and
-        frodo's rate-factor replay ``JSConsumerThreadV2.java:146-162``).
+        Guava RateLimiter per consumer ``BaseWorkHandler.java:64-81``).
+
+        ``rate_factor`` is frodo's EVENT-TIME replay pacing
+        (``JSConsumerThreadV2.java:146-162``): batch k is not allowed to
+        finish before ``(batch_max_ts - first_ts) * rate_factor`` wall
+        seconds have elapsed — factor 1.0 replays the changelog at its
+        original production speed, 2.0 at half speed, 0.5 at double
+        speed. The per-batch schedule lag is recorded in
+        ``RunResult.replay_delays`` and printed by the monitor
+        (min/max/avg delay gauge, ``thread/MonitorThread.java:92-95``).
         ``monitor`` prints per-batch QPS/progress like frodo's
         MonitorThread (``thread/MonitorThread.java:35-114``).
         ``compact_every`` compacts the table after every N batches
@@ -203,6 +221,7 @@ class CdcPipeline:
         result = RunResult()
         batch_id = lo // batch_lsns
         run_t0 = time.time()
+        first_ts = None  # event-time origin for rate-factor replay
         while lo <= max_lsn:
             hi = lo + batch_lsns
             window = changelog.filter(
@@ -213,6 +232,20 @@ class CdcPipeline:
             result.events_applied += stats.batch_events
             result.events_quarantined += stats.invalid_events
             result.stats.append(stats)
+            delay_txt = ""
+            if rate_factor and stats.max_ts is not None:
+                if first_ts is None and stats.min_ts is not None:
+                    first_ts = stats.min_ts
+                if first_ts is not None:
+                    # pace to the event-time schedule: this batch may not
+                    # complete before (max_ts - first_ts) * factor wall
+                    target = (stats.max_ts - first_ts).total_seconds() * rate_factor
+                    lag = target - (time.time() - run_t0)
+                    if lag > 0:
+                        time.sleep(lag)
+                    delay = max(0.0, (time.time() - run_t0) - target)
+                    result.replay_delays.append(delay)
+                    delay_txt = f" replay_delay={delay:.2f}s"
             if monitor:
                 elapsed = max(1e-9, time.time() - run_t0)
                 print(
@@ -222,7 +255,8 @@ class CdcPipeline:
                     f"buckets={len(stats.affected_buckets)} "
                     f"batch_ev/s={stats.batch_events / max(1e-9, stats.wall_ms / 1000):.0f} "
                     f"run_ev/s={result.events_applied / elapsed:.0f} "
-                    f"progress={min(100, 100 * hi // (max_lsn + 1))}%",
+                    f"progress={min(100, 100 * hi // (max_lsn + 1))}%"
+                    + delay_txt,
                     flush=True,
                 )
             if max_events_per_sec:

@@ -110,6 +110,42 @@ def test_aes_roundtrip(spark):
     assert out[0]["rt"] == "secret text"
 
 
+def test_sm4_known_answer_and_roundtrip(spark):
+    """SM4 vs the GB/T 32907-2016 standard vector, then a Spark
+    pandas-UDF roundtrip (ref Sm4Cipher.java:35-55)."""
+    from polardbx_tools_spark.operators import sm4
+
+    key = bytes.fromhex("0123456789abcdeffedcba9876543210")
+    plain = bytes.fromhex("0123456789abcdeffedcba9876543210")
+    assert sm4.encrypt_block(plain, key).hex() == "681edf34d206965e86b3e94f536e4246"
+    assert sm4.decrypt_block(sm4.encrypt_block(plain, key), key) == plain
+
+    df = spark.createDataFrame(
+        [("secret text",), ("",), (None,), ("héllo ✓ unicode",)], "v string"
+    )
+    key_hex = "0123456789abcdeffedcba9876543210"
+    out = df.select(
+        F.col("v"),
+        masking.sm4_decrypt(
+            masking.sm4_encrypt(F.col("v"), key_hex), key_hex
+        ).alias("rt"),
+    ).collect()
+    assert all(r["rt"] == r["v"] for r in out)
+
+
+def test_update_transforms(spark):
+    """K4/K5 deterministic update transforms (UpdateUtil.java:198-219,259)."""
+    from polardbx_tools_spark.operators import transforms
+
+    df = spark.createDataFrame([("abc", 21.5), (None, -3.0)], "s string, x double")
+    out = df.select(
+        transforms.update_reverse(F.col("s")).alias("r"),
+        transforms.update_double(F.col("x")).alias("d"),
+    ).collect()
+    assert out[0]["r"] == "cba" and out[0]["d"] == 43.0
+    assert out[1]["r"] is None and out[1]["d"] == -6.0
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=30)
     feats = multimodal.extract_features(media, feature_dim=8)
