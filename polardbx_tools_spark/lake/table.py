@@ -97,6 +97,29 @@ class Snapshot:
         return [f for fl in self.files.values() for f in fl]
 
 
+def suggest_bucket_count(
+    expected_rows: int, target_rows_per_bucket: int = 2_000_000
+) -> int:
+    """Size the bucket layout for an expected table cardinality.
+
+    Copy-on-write rewrites every TOUCHED bucket per microbatch, so write
+    amplification per batch is bounded by
+    ``touched_buckets * (table_rows / bucket_count)`` — the bucket count
+    must grow with the table or each commit rewrites ever-bigger files.
+    Rule: one bucket per ~2M rows (a few hundred MB of parquet), rounded
+    up to a power of two (stable pmod distribution), clamped to
+    [8, 65536]. At 10^10 rows that yields 8192 buckets; a batch touching
+    1% of conversations then rewrites ~1% of the data, not all of it.
+    (Merge-on-read delete files are the eventual path beyond that —
+    documented in README; out of scope for this engine's COW design.)
+    """
+    n = max(1, (expected_rows + target_rows_per_bucket - 1) // target_rows_per_bucket)
+    b = 1
+    while b < n:
+        b <<= 1
+    return max(8, min(65536, b))
+
+
 class LakeTable:
     """Handle to one lake table rooted at ``path``."""
 

@@ -178,6 +178,40 @@ def test_offsets_filter_skips_committed(spark, tmp_table_path):
     assert pipe.table.offsets() == {3: 6}
 
 
+def test_suggest_bucket_count_scales_with_table():
+    from polardbx_tools_spark.lake.table import suggest_bucket_count
+
+    assert suggest_bucket_count(1_000) == 8            # floor
+    assert suggest_bucket_count(100_000_000) == 64     # 50 -> pow2
+    assert suggest_bucket_count(10_000_000_000) == 8192
+    assert suggest_bucket_count(10**15) == 65536       # ceiling
+
+
+def test_wide_bucket_layout_merge_cost_proportional(spark, tmp_table_path):
+    """With a 256-bucket layout, a batch touching few conversations must
+    rewrite ONLY those buckets (COW write amplification ∝ touched data,
+    not table size)."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=256)
+    pipe.ensure_table(with_tool=True)
+    big = make_df(spark, [
+        ev("I", f"c{i}", t, f"t{i}-{t}", 10 + i, i * 10 + t)
+        for i in range(60) for t in range(2)
+    ])
+    pipe.apply_batch(big, batch_id=0)
+    snap0 = pipe.table.snapshot()
+
+    two = make_df(spark, [
+        ev("U", "c7", 0, "patched", 1000, 9990),
+        ev("U", "c13", 1, "patched2", 1000, 9991),
+    ])
+    stats = pipe.apply_batch(two, batch_id=1)
+    assert 1 <= len(stats.affected_buckets) <= 2
+    snap1 = pipe.table.snapshot()
+    changed = {b for b in set(snap0.files) | set(snap1.files)
+               if snap0.files.get(b) != snap1.files.get(b)}
+    assert changed == {str(b) for b in stats.affected_buckets}
+
+
 def test_bucket_pruning_reads_only_affected(spark, tmp_table_path):
     """A single-conversation batch must only rewrite that conversation's
     bucket: other buckets' file lists are carried over unchanged."""
