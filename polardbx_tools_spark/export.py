@@ -85,6 +85,21 @@ def export_parquet(
     w.mode("overwrite").parquet(path)
 
 
+def export_xlsx(
+    df: DataFrame, path: str, sheet: str = "data", max_rows: int = 1_048_576
+) -> int:
+    """Excel export (ref ``worker/common/writer/XlsxFileWriter.java``)
+    via the stdlib OpenXML writer. Driver-side and row-capped at the
+    format's own sheet limit — Excel is a convenience sink, not a scale
+    path (the reference single-threads it too); use export_csv/parquet
+    for volume. Returns the number of data rows written."""
+    from polardbx_tools_spark.xlsx import write_xlsx
+
+    rows = df.limit(max_rows).collect()
+    write_xlsx(path, {sheet: [list(df.columns)] + [list(r) for r in rows]})
+    return len(rows)
+
+
 # ------------------------------------------------------------------- DDL
 
 def ddl_export(table: LakeTable, path: str) -> None:

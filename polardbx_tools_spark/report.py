@@ -71,3 +71,34 @@ def summary_report(
         F.round(F.min(rt_col), 6).alias("min_rt"),
         F.round(F.max(rt_col), 6).alias("max_rt"),
     )
+
+
+def write_replay_report(path: str, **sheets: DataFrame) -> dict[str, int]:
+    """Materialize report DataFrames as an XLSX workbook — frodo writes
+    its replay results as a detail+summary Excel file
+    (``frodo-core/.../core/Frodo.java:944-1060``); this is the same
+    artifact over the stdlib writer (``polardbx_tools_spark.xlsx``).
+
+    Reports are AGGREGATES (per-template / per-bucket / one-row) so the
+    driver-side collect here is bounded by report cardinality, not data
+    size — the same contract as the reference's end-of-run report merge.
+
+    Usage::
+
+        write_replay_report("report.xlsx",
+                            detail=fingerprint_report(...),
+                            histogram=rt_histogram(...),
+                            summary=summary_report(...))
+
+    Returns {sheet_name: n_rows}.
+    """
+    from polardbx_tools_spark.xlsx import write_xlsx
+
+    out: dict[str, list[list]] = {}
+    counts: dict[str, int] = {}
+    for name, df in sheets.items():
+        rows = df.collect()
+        out[name] = [list(df.columns)] + [list(r) for r in rows]
+        counts[name] = len(rows)
+    write_xlsx(path, out)
+    return counts

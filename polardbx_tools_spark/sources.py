@@ -21,20 +21,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_xlsx(
-    spark: SparkSession, path: str, sheet: str | int = 0, header: bool = True
+    spark: SparkSession, path: str, sheet: int = 0, header: bool = True
 ) -> DataFrame:
-    """Excel → DataFrame via pandas (import-gated: openpyxl may be
-    absent). Driver-side by design — Excel files are small by nature."""
-    try:
-        import pandas as pd
+    """Excel → DataFrame (ref XlsxReader.java:40-63) via the stdlib
+    OpenXML reader in ``polardbx_tools_spark.xlsx`` — no openpyxl
+    dependency. Driver-side by design: Excel files are small by nature
+    (the reference also reads them single-threaded)."""
+    from polardbx_tools_spark.xlsx import read_xlsx_rows
 
-        pdf = pd.read_excel(path, sheet_name=sheet, header=0 if header else None)
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "XLSX support requires openpyxl/xlrd, not present in this "
-            "container — convert to CSV and use parse_csv_changelog"
-        ) from e
-    return spark.createDataFrame(pdf)
+    rows = read_xlsx_rows(path, sheet=sheet)
+    if not rows:
+        raise ValueError(f"empty worksheet {sheet} in {path}")
+    if header:
+        cols = [str(c) for c in rows[0]]
+        data = rows[1:]
+    else:
+        cols = [f"c{i}" for i in range(len(rows[0]))]
+        data = rows
+    width = len(cols)
+    data = [tuple((r + [None] * width)[:width]) for r in data]
+    return spark.createDataFrame(data, cols)
 
 
 def jdbc_shard_scan(

@@ -1,0 +1,157 @@
+"""Minimal pure-stdlib XLSX writer/reader (no openpyxl in this sandbox).
+
+XLSX is a ZIP of OpenXML (ECMA-376) parts; for flat tabular sheets the
+format reduces to a handful of XML files. This module implements exactly
+that subset — enough for the reference's Excel paths:
+
+* XLSX read (``batch-tool worker/common/reader/XlsxReader.java:40-63``),
+* XLSX export (``worker/common/writer/XlsxFileWriter.java``),
+* frodo's replay report workbook (detail + summary sheets,
+  ``frodo-core/.../core/Frodo.java:944-1060``).
+
+Values are written as inline strings / numbers (no shared-strings table
+— simpler, and legal per the spec); the reader handles BOTH inline and
+shared strings so real-world files load too. Excel paths are driver-side
+by design: workbooks are small by nature (the reference reads them
+single-threaded as well).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+{sheets}
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_name(idx: int) -> str:
+    """0-based column index -> A1-style column letters."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, r = divmod(idx - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def _cell_xml(row: int, col: int, value) -> str:
+    ref = f"{_col_name(col)}{row}"
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int, float)):
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+
+
+def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
+    """Write ``{sheet_name: rows}`` (each row a list of cells) as a
+    minimal but spec-valid XLSX workbook."""
+    sheet_names = list(sheets)
+    overrides = "\n".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+        for i in range(len(sheet_names))
+    )
+    wb_sheets = "".join(
+        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(sheet_names)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheet_names))
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES.format(sheets=overrides))
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, name in enumerate(sheet_names):
+            rows_xml = []
+            for r, row in enumerate(sheets[name], start=1):
+                cells = "".join(_cell_xml(r, c, v) for c, v in enumerate(row))
+                rows_xml.append(f'<row r="{r}">{cells}</row>')
+            z.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>",
+            )
+
+
+def _cell_col(ref: str) -> int:
+    letters = re.match(r"[A-Z]+", ref).group(0)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def read_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
+    """Read one worksheet back as a list of rows (cells typed as
+    str/float/bool/None). Handles inline AND shared strings."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        try:
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.iter(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        except KeyError:
+            pass
+        sheet_xml = z.read(f"xl/worksheets/sheet{sheet + 1}.xml")
+    root = ET.fromstring(sheet_xml)
+    out: list[list] = []
+    for row in root.iter(f"{_NS}row"):
+        cells: list = []
+        for c in row.iter(f"{_NS}c"):
+            col = _cell_col(c.attrib.get("r", "A1"))
+            while len(cells) < col:
+                cells.append(None)
+            t = c.attrib.get("t", "n")
+            if t == "inlineStr":
+                is_el = c.find(f"{_NS}is")
+                val = "".join(x.text or "" for x in is_el.iter(f"{_NS}t")) if is_el is not None else None
+            else:
+                v = c.find(f"{_NS}v")
+                if v is None or v.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                elif t == "b":
+                    val = v.text == "1"
+                elif t == "str":
+                    val = v.text
+                else:
+                    val = float(v.text)
+            cells.append(val)
+        out.append(cells)
+    return out

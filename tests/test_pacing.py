@@ -48,10 +48,17 @@ def test_rate_factor_paces_to_event_time(spark, tmp_path, capsys):
     run of the same changelog is several seconds faster."""
     cl = _span_changelog(spark)
 
-    fast_pipe = CdcPipeline(spark, str(tmp_path / "fast"), bucket_count=4)
+    # warm-up run (unpaced): absorbs JVM/codegen warmup so the paced
+    # walls below measure pacing, not first-run compilation
+    CdcPipeline(spark, str(tmp_path / "warm"), bucket_count=4).run(
+        cl, batch_lsns=100, with_tool=True
+    )
+
     t0 = time.time()
-    fast_pipe.run(cl, batch_lsns=100, with_tool=True)
-    fast = time.time() - t0
+    faster = CdcPipeline(spark, str(tmp_path / "f0002"), bucket_count=4).run(
+        cl, batch_lsns=100, with_tool=True, rate_factor=0.002
+    )
+    wall_0002 = time.time() - t0
 
     paced_pipe = CdcPipeline(spark, str(tmp_path / "paced"), bucket_count=4)
     t0 = time.time()
@@ -59,9 +66,13 @@ def test_rate_factor_paces_to_event_time(spark, tmp_path, capsys):
                          rate_factor=0.01, monitor=True)
     paced = time.time() - t0
 
-    # event span is 597 s -> schedule floor 5.97 s at factor 0.01
+    # event span is 597 s -> schedule floor 5.97 s at factor 0.01,
+    # 1.19 s at factor 0.002: the floor is enforced by construction
     assert paced >= 5.5, f"paced run finished in {paced:.1f}s (< schedule)"
-    assert paced >= fast + 2.0, f"pacing indistinguishable: {paced:.1f} vs {fast:.1f}"
+    assert wall_0002 >= 1.1 and faster.batches == res.batches
+    assert paced >= wall_0002 + 2.0, (
+        f"5x the rate factor must slow the replay: {paced:.1f} vs {wall_0002:.1f}"
+    )
     # delay gauge recorded per batch and printed by the monitor
     assert len(res.replay_delays) == res.batches
     s = res.replay_delay_summary()

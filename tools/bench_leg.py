@@ -20,12 +20,26 @@ def main():
     table_path = sys.argv[3]
     n_events = int(sys.argv[4])
     n_batches = int(sys.argv[5])
+    # optional 6th arg: explicit master (e.g. local-cluster[8,1,6144] for
+    # the executor-model scaling legs — separate executor JVMs, each with
+    # its own memory arena, the closest sandbox analog of N executors)
+    master = sys.argv[6] if len(sys.argv) > 6 else f"local[{cpus}]"
     bucket_count = int(os.environ.get("BENCH_BUCKETS", "32"))
 
+    extra = {}
+    if master.startswith("local-cluster"):
+        mem_mb = master.rsplit(",", 1)[-1].rstrip("]")
+        extra = {
+            "spark.executor.memory": f"{mem_mb}m",
+            # executor JVMs are children of this process: they inherit the
+            # parent's taskset pinning, so the leg stays CPU-bounded
+            "spark.executor.cores": master.split(",")[1],
+        }
     spark = get_spark(
         app_name=f"cdc-bench-{cpus}",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=2 * cpus,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     cl = spark.read.parquet(cl_path)

@@ -24,10 +24,21 @@ from polardbx_tools_spark.session import get_spark
 def main():
     cpus = int(sys.argv[1])
     cl_path = sys.argv[2]
+    # optional 3rd arg: explicit master (executor-model control, e.g.
+    # local-cluster[8,1,6144]) — same contract as bench_leg.py
+    master = sys.argv[3] if len(sys.argv) > 3 else f"local[{cpus}]"
+    extra = {}
+    if master.startswith("local-cluster"):
+        mem_mb = master.rsplit(",", 1)[-1].rstrip("]")
+        extra = {
+            "spark.executor.memory": f"{mem_mb}m",
+            "spark.executor.cores": master.split(",")[1],
+        }
     spark = get_spark(
         app_name=f"substrate-{cpus}",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=max(2, 2 * cpus),
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     cl = spark.read.parquet(cl_path)

@@ -5,7 +5,8 @@ Tails (or batch-replays) a changelog and merges it into the lake table:
     spark-submit --master <cluster> \
         --py-files dist/polardbx_tools_spark.zip tools/run_ingest.py \
         --changelog <path> --table <path> [--stream --checkpoint <dir>] \
-        [--batch-lsns N] [--buckets N] [--max-events-per-sec R]
+        [--batch-lsns N] [--buckets N] [--max-events-per-sec R] \
+        [--rate-factor F] [--compact-every N]
 
 In batch mode the LSN-windowed apply loop runs to the end of the
 changelog; in --stream mode a Structured Streaming file tail keeps
@@ -16,6 +17,12 @@ so a batch backfill followed by a streaming tail is seamless.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# in production the package arrives via --py-files; for a repo checkout
+# fall back to the parent directory so the script runs as-is
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -25,6 +32,11 @@ def main() -> None:
     ap.add_argument("--batch-lsns", type=int, default=10_000_000)
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--max-events-per-sec", type=float, default=None)
+    ap.add_argument("--rate-factor", type=float, default=None,
+                    help="event-time replay pacing: 1.0 = original speed, "
+                         "0.5 = double speed (frodo rate-factor)")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="compact the table after every N microbatches")
     ap.add_argument("--max-errors", type=int, default=0)
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint", default=None)
@@ -62,11 +74,17 @@ def main() -> None:
             batch_lsns=args.batch_lsns,
             with_tool=args.with_tool,
             max_events_per_sec=args.max_events_per_sec,
+            rate_factor=args.rate_factor,
+            compact_every=args.compact_every,
             monitor=True,
         )
+        delay = res.replay_delay_summary()
         print(
             f"done: {res.batches} batches, {res.events_applied} events applied, "
             f"{res.events_quarantined} quarantined"
+            + (f", replay delay min/avg/max = "
+               f"{delay['min']:.2f}/{delay['avg']:.2f}/{delay['max']:.2f}s"
+               if delay else "")
         )
 
 
