@@ -519,6 +519,48 @@ def _q_cdc_lake_roundtrip(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_tumbling_window_counts(spark, sf):
+    """Tumbling event-time window aggregation (F.window — the batch twin
+    of the streaming windowed agg; ref frodo interval stats,
+    MonitorThread.java:35-95): events + distinct users per 1-minute
+    window per event type."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 minute").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def _q_rt_percentiles(spark, sf):
+    """Ordered-set aggregates (exact interpolated percentiles) — the
+    latency distribution frodo reports as avg/min/max, upgraded to
+    p50/p90/p99 per op class."""
+    ev = _t(spark, sf, "events")
+    rt = (F.col("value") / 1000.0).alias("rt")
+    op_class = F.when(F.col("event_type").isin("view", "click"), "DQL").otherwise("DML")
+    return (
+        ev.select(op_class.alias("op_class"), rt)
+        .groupBy("op_class")
+        .agg(
+            F.round(F.percentile("rt", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("rt", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("rt", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
 def _q_moving_avg(spark, sf):
     """Rolling window frame: 4-event moving average of value per user
     (feature-engineering staple for training pipelines)."""
@@ -653,6 +695,31 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
+def _q_ann_ivf_topk(spark, sf):
+    """IVF (coarse-quantizer cell probing) ANN — the third ANN strategy
+    beside brute-force and LSH; deterministic centroids make the oracle
+    an exact SQL replica."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(
+        e, q, dim=64, k=5, n_centroids=16, n_probe=4
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cos_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_embedding_near_dup_pairs(spark, sf):
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    self-join + exact-cosine verify (the dedup-side ANN)."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes=3, n_tables=8
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cos_r"))
+
+
 # ----------------------------------------------------------------- tables
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -664,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_parse_json": _q_changelog_parse_json,
         "sessionize": _q_sessionize,
         "cdc_lake_roundtrip": _q_cdc_lake_roundtrip,
+        "tumbling_window_counts": _q_tumbling_window_counts,
+        "rt_percentiles": _q_rt_percentiles,
         "moving_avg": _q_moving_avg,
         "cumulative_events": _q_cumulative_events,
         "fingerprint_report": _q_fingerprint_report,
@@ -700,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
     }
 
 
@@ -788,6 +859,21 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS text,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM r WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "tumbling_window_counts": """
+            SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "rt_percentiles": """
+            SELECT CASE WHEN event_type IN ('view','click') THEN 'DQL'
+                        ELSE 'DML' END AS op_class,
+                   round(quantile_cont(value/1000.0, 0.5), 6) AS p50,
+                   round(quantile_cont(value/1000.0, 0.9), 6) AS p90,
+                   round(quantile_cont(value/1000.0, 0.99), 6) AS p99
+            FROM events GROUP BY 1
         """,
         "moving_avg": """
             SELECT event_id, user_id,
@@ -1093,7 +1179,74 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_ivf_topk": _ANN_IVF_ORACLE_SQL,
+        "embedding_near_dup_pairs": _near_dup_oracle_sql(),
     }
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+)
+
+_ANN_IVF_ORACLE_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 16),
+    sc AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             sqrt(list_sum(list_transform(c.cvec,
+                      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS s
+      FROM e CROSS JOIN cent c),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, cid) AS rn FROM sc),
+    cells AS (SELECT vec_id, embedding, cid AS cell FROM r WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS q_vec, cid AS cell
+               FROM r WHERE vec_id < 8 AND rn <= 4),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="p.q_vec", b="c.embedding")} AS cosine
+      FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    WHERE rank <= 5
+"""
+
+
+def _near_dup_oracle_sql(dim: int = 64, n_planes: int = 3, n_tables: int = 8,
+                         seed: int = 42, threshold: float = 0.4) -> str:
+    """DuckDB oracle for cosine_near_dup_pairs: identical multi-table
+    hyperplane bucketing (literal planes) as a self-join + exact cosine."""
+    from polardbx_tools_spark.operators.similarity import _hyperplane
+
+    def dot_sql(plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            "list_sum(list_transform(list_zip(embedding, " + arr + "), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    bucket_cols = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(_hyperplane(dim, t * n_planes + p, seed))} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        bucket_cols.append(f"({bits}) AS b{t}")
+    on = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding, {", ".join(bucket_cols)} FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos}, 4) AS cos_r
+        FROM e a JOIN e b ON a.vec_id < b.vec_id AND ({on})
+        WHERE {cos} >= {threshold}
+    """
 
 
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 8,

@@ -222,6 +222,10 @@ def run_query_suite(cpus: int) -> dict[str, float]:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, float] = {}
     try:
+        # warm the session (parquet footers, codegen JIT, shuffle service)
+        # so the FIRST query's timing is not session-startup in disguise
+        for t in ("events", "lineitem", "documents", "embeddings"):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
         for name, fn in entrymod.queries().items():
             t0 = time.time()
             # count() forces full execution without driver-side materialization

@@ -140,6 +140,147 @@ def brute_force_topk_np(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-side twin of
+    :func:`lsh_topk`): multi-table hyperplane LSH self-join — candidates
+    are pairs sharing a bucket in ANY table, verified with exact cosine
+    >= threshold. Same shuffle discipline as minhash: the bucket
+    self-join carries IDS ONLY; vectors are joined back once for the
+    surviving distinct candidates."""
+    def tables(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(
+                        vec, dim, n_planes, seed, plane_offset=t * n_planes
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    banded = df.select(
+        F.col(id_col).alias("id"), F.explode(tables(F.col(vec_col))).alias("tb")
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "t", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "t", "bucket")
+    cand = (
+        a.join(b, on=["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), on="id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), on="id_b")
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _fold_norm(vals: list[float]) -> float:
+    """Sequential-fold L2 norm — same summation order as the SQL/Spark
+    fold, so literal norms agree bit-for-bit across engines."""
+    import math
+
+    acc = 0.0
+    for v in vals:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    vector to its nearest centroid CELL; a query scores only the vectors
+    in its ``n_probe`` nearest cells — candidates ∝ probed-cell sizes,
+    never the corpus.
+
+    The coarse quantizer here is deterministic (the first
+    ``n_centroids`` corpus vectors by id — production systems would
+    k-means them, the cell interface is identical), which keeps the
+    operator exactly reproducible in the SQL oracle. Centroids are tiny
+    by contract: they ride the plan as literal arrays, so cell
+    assignment is one codegen'd projection over the streamed corpus —
+    the same broadcast-small/stream-big shape as the other ANN paths.
+    """
+    from pyspark.sql.window import Window
+
+    cent_rows = sorted(
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    cents = [(list(r[vec_col]), _fold_norm(r[vec_col])) for r in cent_rows]
+
+    def cent_scores(vec: Column) -> Column:
+        """dot(vec, centroid)/|centroid| per centroid — |vec| is common
+        to every cell so it cannot change the argmax."""
+        return F.array(
+            *[
+                (dot(vec, F.array(*[F.lit(float(x)) for x in cv])) / F.lit(cn))
+                .cast("double")
+                for cv, cn in cents
+            ]
+        )
+
+    # corpus side: cell = 1-based index of the best-scoring centroid
+    # (first index on exact ties == lowest centroid id, mirroring the
+    # oracle's ORDER BY score DESC, cid ASC)
+    scores = cent_scores(F.col(vec_col))
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
+    )
+
+    # query side (small by contract): probe the n_probe best cells
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("pos").asc()
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.posexplode(cent_scores(F.col(vec_col))).alias("pos", "s"),
+        )
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "q_vec", (F.col("pos") + 1).cast("int").alias("cell"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component via splitmix-style
     integer mixing (no RNG state, reproducible across engines)."""
