@@ -8,6 +8,8 @@ no Python in the inner loop.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -156,22 +158,17 @@ def cosine_near_dup_pairs(
     >= threshold. Same shuffle discipline as minhash: the bucket
     self-join carries IDS ONLY; vectors are joined back once for the
     surviving distinct candidates."""
-    def tables(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(
-                        vec, dim, n_planes, seed, plane_offset=t * n_planes
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-
     banded = df.select(
-        F.col(id_col).alias("id"), F.explode(tables(F.col(vec_col))).alias("tb")
-    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
+    ).select(
+        "id",
+        "t",
+        lsh_bucket_for_table(
+            F.col("_v"), F.col("t"), dim, n_planes, n_tables, seed
+        ).alias("bucket"),
+    )
     a = banded.select(F.col("id").alias("id_a"), "t", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "t", "bucket")
     cand = (
@@ -232,16 +229,26 @@ def ivf_topk(
         key=lambda r: r[id_col],
     )
     cents = [(list(r[vec_col]), _fold_norm(r[vec_col])) for r in cent_rows]
+    # centroid matrix + norms as parsed SQL literals: single Literal
+    # nodes, no per-element py4j round-trips (see _planes_expr_sql)
+    cmat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+            for cv, _ in cents
+        ) + ")"
+    )
+    cnorms = F.expr(
+        "array(" + ",".join(repr(float(cn)) + "D" for _, cn in cents) + ")"
+    )
 
     def cent_scores(vec: Column) -> Column:
         """dot(vec, centroid)/|centroid| per centroid — |vec| is common
         to every cell so it cannot change the argmax."""
-        return F.array(
-            *[
-                (dot(vec, F.array(*[F.lit(float(x)) for x in cv])) / F.lit(cn))
-                .cast("double")
-                for cv, cn in cents
-            ]
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: (
+                dot(vec, F.element_at(cmat, i)) / F.element_at(cnorms, i)
+            ).cast("double"),
         )
 
     # corpus side: cell = 1-based index of the best-scoring centroid
@@ -315,6 +322,93 @@ def lsh_bucket(
     return bucket
 
 
+def lsh_table_buckets(
+    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> Column:
+    """Array of ``n_tables`` bucket ids (table t = planes
+    [t*n_planes, (t+1)*n_planes)). The planes ride as ONE 2-D literal
+    array and the loops are data-driven transforms, so the expression
+    tree stays O(1): plan analysis/codegen is milliseconds instead of
+    seconds for the (tables x planes) unrolled form — same values
+    (parity with :func:`lsh_bucket` asserted in tests)."""
+    # planes is a single parsed Literal (see _planes_expr_sql), so
+    # element_at() below is an O(1) lookup. (Do NOT hang an element_at
+    # off a non-foldable intermediate like a per-row signs array —
+    # higher-order lambdas re-evaluate the captured expression on EVERY
+    # access, turning 48 dots/row into 48^2.)
+    planes = F.expr(_planes_expr_sql(dim, n_planes, n_tables, seed))
+
+    def plane_dot(p_idx: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec, F.element_at(planes, p_idx), lambda x, w: (x * w).cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(
+                plane_dot(t * F.lit(n_planes) + p + 1) > 0,
+                F.pow(F.lit(2.0), p).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _planes_expr_sql(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """SQL array-of-arrays literal of all hyperplanes (cached — repr()
+    round-trips each double exactly)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(
+            repr(float(v)) + "D" for v in _hyperplane(dim, t * n_planes + p, seed)
+        ) + ")"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ) + ")"
+
+
+def lsh_bucket_for_table(
+    vec: Column, t: Column, dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> Column:
+    """Bucket id of hash table ``t`` only (t is a COLUMN — pair this
+    with ``explode(sequence(0, n_tables-1))`` so each exploded row
+    computes exactly its own table's n_planes dots; exploding a
+    precomputed bucket ARRAY instead makes Generate re-evaluate all
+    n_tables buckets per output row, an n_tables-times blowup).
+
+    The plane matrix is ONE parsed SQL literal (a single Literal node):
+    per-element Column construction round-trips every value through the
+    py4j bridge (~seconds at tables x planes x dim elements), while one
+    expr string parses in milliseconds and analysis stays flat."""
+    planes = F.expr(_planes_expr_sql(dim, n_planes, n_tables, seed))
+
+    def plane_dot(p_idx: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec, F.element_at(planes, p_idx), lambda x, w: (x * w).cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            plane_dot(t * F.lit(n_planes) + p + 1) > 0,
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -339,31 +433,20 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    def tables(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(
-                        vec, dim, n_planes, seed, plane_offset=t * n_planes
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
+        ).withColumn(
+            "bucket",
+            lsh_bucket_for_table(
+                F.col(vec_alias), F.col("t"), dim, n_planes, n_tables, seed
+            ),
         )
 
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(tables(F.col(vec_col))).alias("tb"),
-    ).select("neighbor_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    qb = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(tables(F.col(vec_col))).alias("tb"),
-        ).select("query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    )
+    cb = banded(corpus, "neighbor_id", "c_vec")
+    qb = F.broadcast(banded(queries, "query_id", "q_vec"))
     scored = (
         cb.join(qb, on=["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -118,7 +118,9 @@ def _cell_col(ref: str) -> int:
 
 def read_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
     """Read one worksheet back as a list of rows (cells typed as
-    str/float/bool/None). Handles inline AND shared strings."""
+    str/float/bool/None). Handles inline AND shared strings. Rows are
+    padded with None to the sheet's max width (cells are stored
+    sparsely, so trailing empties are otherwise absent)."""
     with zipfile.ZipFile(path) as z:
         shared: list[str] = []
         try:
@@ -154,4 +156,5 @@ def read_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
                     val = float(v.text)
             cells.append(val)
         out.append(cells)
-    return out
+    width = max((len(r) for r in out), default=0)
+    return [r + [None] * (width - len(r)) for r in out]
