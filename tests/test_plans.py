@@ -118,6 +118,28 @@ def test_topk_plans_take_ordered_not_global_window(spark):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_dedup_and_ann_plans_avoid_nested_loops(spark):
+    """The pair-generation joins must be equi-joins (hash/sort-merge or
+    broadcast-hash), never CartesianProduct/BroadcastNestedLoop — the
+    size-ratio prune and LSH bucketing exist precisely to keep the
+    self-joins shuffle-partitionable."""
+    from polardbx_tools_spark.operators import dedup, similarity
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plans = {
+        "jaccard": plan(dedup.jaccard_pairs(d, threshold=0.8)),
+        "minhash": plan(dedup.minhash_lsh_pairs(d)),
+        "near_dup": plan(similarity.cosine_near_dup_pairs(e, dim=64)),
+        "lsh_topk": plan(similarity.lsh_topk(e, e.filter("vec_id < 4"), dim=64)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, f"{name}: cartesian product\n{p}"
+        assert "BroadcastNestedLoop" not in p, f"{name}: nested loop join\n{p}"
+    # the small query side rides a broadcast in the ANN top-k paths
+    assert "BroadcastHashJoin" in plans["lsh_topk"], plans["lsh_topk"]
+
+
 def test_scan_skips_python_for_builtin_ops(spark):
     """No BatchEvalPython / ArrowEval in plans of built-in operators —
     the hot path stays in WholeStageCodegen."""
