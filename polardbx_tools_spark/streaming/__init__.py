@@ -1,3 +1,6 @@
-from polardbx_tools_spark.streaming.stream import start_cdc_stream
+from polardbx_tools_spark.streaming.stream import (
+    start_cdc_stream,
+    start_windowed_counts_stream,
+)
 
-__all__ = ["start_cdc_stream"]
+__all__ = ["start_cdc_stream", "start_windowed_counts_stream"]

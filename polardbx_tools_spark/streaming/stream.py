@@ -18,6 +18,7 @@ and they do because apply_batch filters on committed offsets first).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -53,6 +54,56 @@ def start_cdc_stream(
         stream.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_windowed_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Watermarked tumbling-window event counts — frodo's interval QPS
+    gauge (``thread/MonitorThread.java:35-95``) as a Structured Streaming
+    aggregation with LATE-DATA semantics:
+
+    * events later than ``watermark`` behind the max seen event time are
+      DROPPED (they can no longer change an emitted window);
+    * append mode emits each window exactly once, when the watermark
+      passes its end — so downstream consumers never see a count twice.
+
+    State is bounded by (windows inside the watermark horizon), not by
+    stream length — the scale-correct shape for an endless tail.
+    """
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

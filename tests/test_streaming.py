@@ -131,3 +131,57 @@ def test_stream_schema_evolution_on_restart(spark, tmp_path):
     got = normalize(pipe.read_transcripts().toPandas(), PAYLOAD)
     want = normalize(replay_oracle(cl.toPandas(), PAYLOAD), PAYLOAD)
     pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_watermarked_window_agg_drops_late_data(spark, tmp_path):
+    """Watermarked tumbling-window streaming aggregation (append mode):
+    windows emit exactly once when the watermark passes their end, and
+    an event arriving later than the watermark horizon is DROPPED — it
+    must not resurrect or change an already-emitted window."""
+    import datetime as dt
+    import os
+
+    from polardbx_tools_spark.streaming import start_windowed_counts_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def land(minute: int, n: int, name: str):
+        rows = [(t0 + dt.timedelta(minutes=minute, seconds=i), i) for i in range(n)]
+        spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / f"stage_{name}"))
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / f"stage_{name}" / "*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    # minutes 0..5, one file per minute so the watermark advances
+    # per-microbatch (maxFilesPerTrigger=1)
+    for m in range(6):
+        land(m, 10 + m, f"m{m}")
+    q = start_windowed_counts_stream(
+        spark, src, "ts timestamp, v long", out, ckpt,
+        window="1 minute", watermark="2 minutes", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got1 = {r["w_start"].minute: r["n_events"] for r in spark.read.parquet(out).collect()}
+    # watermark reached (min5 - 2min) = min3 -> windows 0,1,2 are final
+    assert got1 == {0: 10, 1: 11, 2: 12}, got1
+
+    # a LATE minute-0 event (beyond the watermark) plus fresh minute-9
+    # data; restart from the checkpoint
+    land(0, 3, "late0")   # 3 late events for minute 0 — must be dropped
+    land(9, 7, "m9")
+    q2 = start_windowed_counts_stream(
+        spark, src, "ts timestamp, v long", out, ckpt,
+        window="1 minute", watermark="2 minutes", max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    got2 = {r["w_start"].minute: r["n_events"] for r in spark.read.parquet(out).collect()}
+    # watermark -> min7: windows 3,4,5 newly final; minute-0 count UNCHANGED
+    assert got2[0] == 10, f"late data resurrected an emitted window: {got2}"
+    assert got2[3] == 13 and got2[4] == 14 and got2[5] == 15, got2
+    assert 9 not in got2  # its window is not final yet
