@@ -629,6 +629,28 @@ def _q_doc_fingerprint(spark, sf):
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_corpus_curation(spark, sf):
+    """End-to-end training-data curation pipeline: quality gate →
+    language gate → exact dedup (min-id representative) → corpus stats.
+    Composes the individually-verified operators the way a 100 TB
+    curation job would chain them."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        text.quality_score(F.col("text")).alias("quality"),
+        text.lang_id(F.col("text")).alias("lang"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    ).filter((F.col("quality") >= 0.75) & (F.col("lang") == "en"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return kept.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
 def _q_dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.exact_groups(d)
@@ -762,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "corpus_curation": _q_corpus_curation,
         "dedup_exact": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
@@ -1108,6 +1131,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "corpus_curation": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     {_TOKS} AS toks,
+                     {_TOKS_L} AS toks_l,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct
+              FROM documents),
+            q AS (
+              SELECT doc_id, text,
+                     CAST(len(toks) AS INTEGER) AS n_tokens,
+                     (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN len(toks_l) > 0 AND
+                           len(list_filter(toks_l, x -> x IN {_STOP_IN})) * 1.0 / len(toks_l) >= 0.03
+                           THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN len(toks) > 0 AND
+                           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                              BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN n_chars > 0 AND
+                           (n_chars - n_nopunct) * 1.0 / n_chars <= 0.2
+                           THEN 0.25
+                           WHEN n_chars = 0 THEN 0.25 ELSE 0.0 END) AS quality,
+                     CASE
+                       WHEN length(text) > 0 AND
+                            length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0 / length(text) < 0.8
+                       THEN 'other'
+                       WHEN len(toks_l) > 0 AND
+                            len(list_filter(toks_l, x -> x IN {_STOP_IN})) * 1.0 / len(toks_l) >= 0.08
+                       THEN 'en'
+                       ELSE 'unk' END AS lang
+              FROM t),
+            k AS (
+              SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM q WHERE quality >= 0.75 AND lang = 'en')
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(quality), 6) AS avg_quality
+            FROM k WHERE rn = 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash,
