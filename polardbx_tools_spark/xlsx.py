@@ -39,6 +39,26 @@ _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
+_ILLEGAL_XML = re.compile(
+    # \x0D (\r) is legal XML but parsers normalize it to \n, so it must
+    # be escaped to survive a round-trip (Excel escapes it too)
+    "[\x00-\x08\x0B-\x0C\x0D\x0E-\x1F\x7F\uD800-\uDFFF￾￿]"
+)
+_X_ESCAPE = re.compile(r"_x[0-9A-Fa-f]{4}_")
+
+
+def _encode_text(s: str) -> str:
+    """OOXML text encoding: characters illegal in XML 1.0 are written as
+    ``_xHHHH_`` (the convention Excel itself uses); pre-existing literal
+    ``_xHHHH_`` sequences get their underscore encoded first."""
+    s = _X_ESCAPE.sub(lambda m: "_x005F_" + m.group(0)[1:], s)
+    return _ILLEGAL_XML.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def _decode_text(s: str) -> str:
+    return _X_ESCAPE.sub(lambda m: chr(int(m.group(0)[2:6], 16)), s)
+
+
 def _col_name(idx: int) -> str:
     """0-based column index -> A1-style column letters."""
     out = ""
@@ -57,7 +77,10 @@ def _cell_xml(row: int, col: int, value) -> str:
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    return (
+        f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+        f"{escape(_encode_text(str(value)))}</t></is></c>"
+    )
 
 
 def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
@@ -100,11 +123,20 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
             for r, row in enumerate(sheets[name], start=1):
                 cells = "".join(_cell_xml(r, c, v) for c, v in enumerate(row))
                 rows_xml.append(f'<row r="{r}">{cells}</row>')
+            # dimension preserves the logical sheet extent even when the
+            # trailing cells are all empty (cells are stored sparsely)
+            n_rows = len(sheets[name])
+            n_cols = max((len(r) for r in sheets[name]), default=0)
+            dim = (
+                f'<dimension ref="A1:{_col_name(max(0, n_cols - 1))}{max(1, n_rows)}"/>'
+                if n_rows and n_cols
+                else ""
+            )
             z.writestr(
                 f"xl/worksheets/sheet{i + 1}.xml",
                 '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-                f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>",
+                f"{dim}<sheetData>{''.join(rows_xml)}</sheetData></worksheet>",
             )
 
 
@@ -126,11 +158,17 @@ def read_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
         try:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{_NS}si"):
-                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+                shared.append(
+                    _decode_text("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+                )
         except KeyError:
             pass
         sheet_xml = z.read(f"xl/worksheets/sheet{sheet + 1}.xml")
     root = ET.fromstring(sheet_xml)
+    dim_width = 0
+    dim = root.find(f"{_NS}dimension")
+    if dim is not None and ":" in dim.attrib.get("ref", ""):
+        dim_width = _cell_col(dim.attrib["ref"].split(":")[1]) + 1
     out: list[list] = []
     for row in root.iter(f"{_NS}row"):
         cells: list = []
@@ -141,7 +179,11 @@ def read_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
             t = c.attrib.get("t", "n")
             if t == "inlineStr":
                 is_el = c.find(f"{_NS}is")
-                val = "".join(x.text or "" for x in is_el.iter(f"{_NS}t")) if is_el is not None else None
+                val = (
+                    _decode_text("".join(x.text or "" for x in is_el.iter(f"{_NS}t")))
+                    if is_el is not None
+                    else None
+                )
             else:
                 v = c.find(f"{_NS}v")
                 if v is None or v.text is None:
@@ -156,5 +198,5 @@ def read_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
                     val = float(v.text)
             cells.append(val)
         out.append(cells)
-    width = max((len(r) for r in out), default=0)
+    width = max(dim_width, max((len(r) for r in out), default=0))
     return [r + [None] * (width - len(r)) for r in out]
