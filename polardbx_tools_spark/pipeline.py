@@ -130,6 +130,21 @@ class CdcPipeline:
             bad = bad | F.col(k).isNull()
         return df, bad
 
+    def _quarantine_reason(self) -> F.Column:
+        """First matching malformation cause — persisted with each
+        quarantined row (the reference logs its skip causes per bad line,
+        ``DirectImportWorker.java:107-128``)."""
+        reason = (
+            F.when(F.col(OP_COL).isNull() | ~F.col(OP_COL).isin(*VALID_OPS),
+                   F.lit("invalid_op"))
+            .when(F.col(LSN_COL).isNull(), F.lit("null_lsn"))
+            .when(F.col(PART_COL).isNull(), F.lit("null_source_partition"))
+            .when(F.col(TS_COL).isNull(), F.lit("null_ts"))
+        )
+        for k in self.key_cols:
+            reason = reason.when(F.col(k).isNull(), F.lit(f"null_key:{k}"))
+        return reason.otherwise(F.lit("unknown"))
+
     # --------------------------------------------------------------- apply
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> MergeStats:
@@ -146,7 +161,11 @@ class CdcPipeline:
         )
         if stats.invalid_events:
             # rare path: only malformed batches pay a second (filtered) scan
-            df.filter(bad).write.mode("append").parquet(self._errors_dir)
+            df.filter(bad).withColumn(
+                "_error_reason", self._quarantine_reason()
+            ).withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(self._errors_dir)
             if stats.invalid_events > self.max_errors:
                 raise RuntimeError(
                     f"batch {batch_id}: {stats.invalid_events} malformed events "

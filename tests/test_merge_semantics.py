@@ -96,6 +96,9 @@ def test_quarantine_and_error_budget(spark, tmp_table_path):
     assert stats.batch_events == 1
     errs = spark.read.parquet(str(tmp_table_path) + "/_errors")
     assert errs.count() == 2
+    reasons = {r["_error_reason"] for r in errs.collect()}
+    assert reasons == {"invalid_op", "null_key:conv_id"}
+    assert {r["_batch_id"] for r in errs.collect()} == {0}
 
     over = make_df(spark, [
         ("Z", f"c{i}", 0, "u", "t", None, T0, 10 + i, 0) for i in range(5)
