@@ -629,6 +629,16 @@ def _q_doc_fingerprint(spark, sf):
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_dedup_clusters(spark, sf):
+    """Duplicate CLUSTERS: connected components (min-label propagation)
+    over the exact jaccard>=0.8 pair graph — the keep-one-per-cluster
+    step between pair detection and a dedup'd corpus. Oracle: recursive
+    CTE computing the same min-reachable-id fixpoint."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.8)
+    return dedup.duplicate_clusters(pairs)
+
+
 def _q_corpus_curation(spark, sf):
     """End-to-end training-data curation pipeline: quality gate →
     language gate → exact dedup (min-id representative) → corpus stats.
@@ -784,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_clusters": _q_dedup_clusters,
         "corpus_curation": _q_corpus_curation,
         "dedup_exact": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
@@ -1131,6 +1142,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id AS id, {_WSET} AS ws, len({_WSET}) AS n
+              FROM documents),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM base a JOIN base b
+                ON a.id < b.id AND 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n
+              WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(v, u) AS (
+              SELECT a, a FROM e
+              UNION SELECT a, b FROM e
+              UNION SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a)
+            SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
         """,
         "corpus_curation": f"""
             WITH t AS (

@@ -395,3 +395,65 @@ def simhash_near_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------------- clusters
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR list → duplicate
+    clusters ``(doc_id, cluster_id)`` with ``cluster_id = min id reachable
+    through duplicate edges`` — the step a curation pipeline needs between
+    pair detection (jaccard/minhash/simhash/cosine) and "keep one doc per
+    cluster".
+
+    Distributed min-label propagation: each round every vertex takes the
+    minimum of its own label and its neighbors' labels (one equi-join +
+    one partial-aggregated groupBy per round, both shuffle-partitionable;
+    no driver-side graph). Converges in <= graph-diameter rounds — small
+    for duplicate clusters, which are near-cliques; the loop stops early
+    on a converged round (the only driver values are per-round change
+    counts). The fixpoint (min reachable id) is engine-independent, so a
+    recursive-CTE SQL oracle can replay it exactly.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
+        "l", F.col("v")
+    ).persist()
+    labels.count()
+    try:
+        for _ in range(max_iterations):
+            neigh = (
+                edges.join(labels, edges["b"] == labels["v"])
+                .groupBy("a")
+                .agg(F.min("l").alias("nl"))
+            )
+            nl = F.least(labels["l"], F.coalesce(neigh["nl"], labels["l"]))
+            # the change flag rides the same pass — no second join to
+            # detect convergence; localCheckpoint truncates the per-round
+            # lineage so the plan does not grow with the iteration count
+            new_labels = (
+                labels.join(neigh, labels["v"] == neigh["a"], "left")
+                .select(
+                    labels["v"],
+                    nl.alias("l"),
+                    (nl < labels["l"]).alias("chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.filter("chg").count()
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()

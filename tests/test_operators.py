@@ -43,6 +43,18 @@ def test_jaccard_and_minhash_find_near_dups(docs):
     assert not any({5, 6} & set(p) for p in mpairs)
 
 
+def test_duplicate_clusters_connected_components(spark):
+    """Min-label propagation must assign every vertex the min id of its
+    connected component, across multi-hop chains."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11), (20, 21), (5, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 5, 21: 5, 5: 5}
+
+
 def test_simhash_identical_and_distance(docs, spark):
     sh = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
     assert sh[1] == sh[2]              # identical text -> identical simhash
