@@ -1,17 +1,22 @@
 """Deduplication operators: exact, normalized, jaccard-pairs,
-MinHash+LSH, SimHash.
+MinHash+LSH, SimHash, duplicate clusters.
 
 The CDC engine's key-dedup is ``lake.merge.dedup_last_writer``; these are
 the *content* dedup operators a training-data pipeline needs on top
 (prompt requirement). Scale posture:
 
 * exact/normalized: one hash-groupBy — map-side partial agg, no driver.
-* jaccard_pairs: blocked self-join (never unblocked O(n²)); block key
-  bounds candidate pairs, AQE handles block skew.
-* minhash_lsh: shingle → k-min signature → band buckets → join within
-  bucket only. All signature math is JVM array exprs (no Python).
+* jaccard_pairs: EXACT all-pairs semantics; candidates bounded by the
+  size-ratio bound implied by the threshold (expressed as an equi-join,
+  no nested loops) and verified via a dictionary+bitmask fast path
+  (small vocab) or sorted-set intersects (generic).
+* minhash_lsh: shingles hashed ONCE to longs → k-min signature →
+  band buckets join on ids only → hashed-set verify. All signature math
+  is JVM array exprs (no Python), O(1) expression trees.
 * simhash: 64-bit sign aggregate over token hashes via explode +
   bit-position groupBy; hamming ≤ r candidate filter.
+* duplicate_clusters: distributed min-label connected components over
+  any pair operator's output (diameter-bounded rounds).
 """
 
 from __future__ import annotations
