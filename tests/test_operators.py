@@ -158,6 +158,36 @@ def test_update_transforms(spark):
     assert out[1]["r"] is None and out[1]["d"] == -6.0
 
 
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    """resize/frame-sample Spark plumbing with a deterministic fake
+    codec: schema preserved, metadata rewritten, frame positions are
+    JVM-side column math."""
+    media = multimodal.synthetic_media(spark, n=12)
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        return (payload or b"")[: w * h].ljust(w * h, b"\0")
+
+    resized = multimodal.resize_images(media, 4, 3, resize_fn=fake_resize)
+    rows = resized.collect()
+    assert [(f.name, f.dataType) for f in resized.schema.fields] == [
+        (f.name, f.dataType) for f in media.schema.fields
+    ]
+    assert all(r["width"] == 4 and r["height"] == 3 for r in rows)
+    assert all(len(r["payload"]) == 12 for r in rows)
+
+    frames = multimodal.sample_frames(media, every_ms=500).collect()
+    assert frames and all(r["frame_ms"] % 500 == 0 for r in frames)
+    per_vid = {}
+    for r in frames:
+        per_vid.setdefault(r["media_id"], []).append(r["frame_ms"])
+    vids = {r["media_id"]: r["duration_ms"]
+            for r in media.filter("kind = 'video'").collect()}
+    assert set(per_vid) == set(vids)
+    for mid, stamps in per_vid.items():
+        assert stamps == sorted(stamps) and stamps[0] == 0
+        assert len(stamps) == vids[mid] // 500 + 1
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=30)
     feats = multimodal.extract_features(media, feature_dim=8)
