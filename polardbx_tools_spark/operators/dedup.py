@@ -9,7 +9,8 @@ the *content* dedup operators a training-data pipeline needs on top
 * jaccard_pairs: EXACT all-pairs semantics; candidates bounded by the
   size-ratio bound implied by the threshold (expressed as an equi-join,
   no nested loops) and verified via a dictionary+bitmask fast path
-  (small vocab) or sorted-set intersects (generic).
+  (sampled vocab + exact residual sets for unseen tokens) or sorted-set
+  intersects (generic); strategy chosen by a BOUNDED sample probe.
 * minhash_lsh: shingles hashed ONCE to longs → k-min signature →
   band buckets join on ids only → hashed-set verify. All signature math
   is JVM array exprs (no Python), O(1) expression trees.
@@ -78,46 +79,80 @@ def _emit_size_keys(n: Column, threshold: float) -> Column:
     return F.sequence(lo, n.cast("int"))
 
 
+def _vocab_probe_df(base: DataFrame, probe_rows: int, max_vocab: int) -> DataFrame:
+    """Bounded strategy probe: distinct tokens of a ``probe_rows``-row
+    SAMPLE, capped at ``max_vocab + 1``. The limits bound BOTH the scan
+    (LocalLimit pushes into the sample) and the distinct — this is a
+    strategy hint, never a full-corpus aggregation (a ``distinct()``
+    over every token at 100 TB just to learn "vocab > 62" was the
+    round-2 scale wart)."""
+    return (
+        base.limit(probe_rows)
+        .select(F.explode("ws").alias("tok"))
+        .distinct()
+        .limit(max_vocab + 1)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    strategy: str = "auto",
     max_bitmask_vocab: int = 62,
+    probe_rows: int = 2048,
 ) -> DataFrame:
     """EXACT all-pairs word-set Jaccard self-join: every (id_a < id_b)
     pair with jaccard >= threshold. Complete by construction (no
     probabilistic blocking) — ``minhash_lsh_pairs`` is the approximate
-    scale path when exactness can be traded.
+    scale path when exactness can be traded. Pairs of two EMPTY word
+    sets are dropped (jaccard 0/0 is undefined) on every strategy.
 
-    Two physical strategies behind one semantic:
+    ``strategy``:
 
-    * **dictionary + bitmask** (vocab <= ``max_bitmask_vocab``): tokens
-      are dictionary-encoded to bit positions, a word set becomes ONE
-      int64, and jaccard = bit_count(a&b)/bit_count(a|b) — pure integer
-      codegen, no array intersections. Identical masks are grouped
-      first, so the pair join runs over DISTINCT sets and expands back
-      to doc ids at the end (exact-dup groups cost linear work).
-    * **generic** (big vocab): per-doc sorted string sets verified with
-      array_intersect/array_union.
+    * ``"generic"`` — per-doc sorted string sets verified with
+      array_intersect/array_union. No probe job at all.
+    * ``"bitmask"`` — tokens of a bounded SAMPLE vocabulary are
+      dictionary-encoded to bit positions; a word set becomes one int64
+      mask plus a (usually empty) residual array of out-of-vocabulary
+      tokens, and jaccard decomposes exactly as
+      ``(bit_inter + |res_a ∩ res_b|) / (bit_union + |res_a ∪ res_b|)``
+      — integer codegen for the common part, exact for unseen tokens
+      (they stay strings in the residual instead of silently mapping to
+      a shared NULL mask). Identical (mask, residual) sets are grouped
+      first, so the pair join runs over DISTINCT sets.
+    * ``"auto"`` (default) — probe the distinct tokens of a
+      ``probe_rows``-row sample (bounded scan, see
+      :func:`_vocab_probe_df`) and pick bitmask iff the sampled vocab
+      fits ``max_bitmask_vocab``. Because the bitmask path is exact
+      under an incomplete vocabulary, a sample that underestimates the
+      corpus vocab costs performance, never correctness.
 
-    Both prune candidates with the exact size-ratio bound implied by the
-    threshold (min >= t*max), expressed as an equi-join on emitted
-    partner sizes — no O(n^2) nested loop, shuffles partition by size key.
+    Both strategies prune candidates with the exact size-ratio bound
+    implied by the threshold (min >= t*max), expressed as an equi-join
+    on emitted partner sizes — no O(n^2) nested loop, shuffles partition
+    by size key.
+
+    NOTE: bitmask/auto evaluate the probe eagerly at plan-construction
+    time and the returned plan re-reads ``df`` — callers with a
+    non-deterministic source should materialize it first (the residual
+    handling keeps even a stale vocabulary correct, but the two scans
+    must see the same rows).
     """
     base = df.select(
         F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws")
     )
-    vocab_rows = (
-        base.select(F.explode("ws").alias("tok"))
-        .distinct()
-        .limit(max_bitmask_vocab + 1)
-        .collect()
-    )
+    if strategy == "generic":
+        return _jaccard_pairs_generic(base, threshold)
+    vocab_rows = _vocab_probe_df(base, probe_rows, max_bitmask_vocab).collect()
+    vocab = sorted(r["tok"] for r in vocab_rows)[:max_bitmask_vocab]
+    if strategy == "bitmask":
+        return _jaccard_pairs_bitmask(base, vocab, threshold)
+    if strategy != "auto":
+        raise ValueError(f"unknown strategy {strategy!r}")
     if len(vocab_rows) <= max_bitmask_vocab:
-        return _jaccard_pairs_bitmask(
-            base, sorted(r["tok"] for r in vocab_rows), threshold
-        )
+        return _jaccard_pairs_bitmask(base, vocab, threshold)
     return _jaccard_pairs_generic(base, threshold)
 
 
@@ -131,22 +166,29 @@ def _jaccard_pairs_bitmask(
             for x in (F.lit(t), F.lit(1 << i).cast("long"))
         ]
     )
+    # unseen tokens do NOT fold into the mask (coalesce keeps it exact
+    # over the in-vocab part); they form a sorted residual set so the
+    # jaccard below stays exact whatever the sampled vocab missed
     mask = F.aggregate(
         F.col("ws"),
         F.lit(0).cast("long"),
-        lambda acc, t: acc.bitwiseOR(tok_bit[t]),
+        lambda acc, t: acc.bitwiseOR(F.coalesce(tok_bit[t], F.lit(0).cast("long"))),
     )
-    # group identical sets: the pair join runs over distinct masks only
+    resid = F.array_sort(F.filter(F.col("ws"), lambda t: tok_bit[t].isNull()))
+    # group identical (mask, residual) sets: the pair join runs over
+    # DISTINCT sets only; ids expand back at the end
     groups = (
-        base.select("id", mask.alias("mask"))
-        .groupBy("mask")
+        base.select("id", mask.alias("mask"), resid.alias("res"))
+        .groupBy("mask", "res")
         .agg(F.collect_list("id").alias("ids"))
-        .withColumn("n", F.bit_count("mask"))
+        .withColumn("n", F.bit_count("mask") + F.size("res"))
     )
 
-    # within-group pairs: identical sets, jaccard exactly 1.0
+    # within-group pairs: identical sets, jaccard exactly 1.0. Empty
+    # sets (n=0) are excluded — 0/0 is undefined and the generic path /
+    # SQL oracle drop such pairs too (consistency across strategies).
     same = (
-        groups.filter(F.size("ids") >= 2)
+        groups.filter((F.size("ids") >= 2) & (F.col("n") > 0))
         .select(F.explode("ids").alias("x"), F.col("ids"))
         .select("x", F.explode("ids").alias("y"))
         .filter(F.col("x") < F.col("y"))
@@ -159,24 +201,42 @@ def _jaccard_pairs_bitmask(
 
     # cross-group pairs: larger side emits admissible partner sizes
     small = groups.select(
-        F.col("mask").alias("m_s"), F.col("ids").alias("ids_s"),
+        F.col("mask").alias("m_s"), F.col("res").alias("r_s"),
+        F.col("ids").alias("ids_s"),
         F.col("n").alias("n_s"), F.col("n").alias("k"),
     )
     large = groups.select(
-        F.col("mask").alias("m_l"), F.col("ids").alias("ids_l"),
+        F.col("mask").alias("m_l"), F.col("res").alias("r_l"),
+        F.col("ids").alias("ids_l"),
         F.col("n").alias("n_l"),
         F.explode(_emit_size_keys(F.col("n"), threshold)).alias("k"),
     )
-    inter = F.bit_count(F.col("m_s").bitwiseAND(F.col("m_l")))
-    union = F.bit_count(F.col("m_s").bitwiseOR(F.col("m_l")))
+    inter = F.bit_count(F.col("m_s").bitwiseAND(F.col("m_l"))) + F.size(
+        F.array_intersect(F.col("r_s"), F.col("r_l"))
+    )
+    union = F.bit_count(F.col("m_s").bitwiseOR(F.col("m_l"))) + F.size(
+        F.array_union(F.col("r_s"), F.col("r_l"))
+    )
+    # equal-size groups meet twice (both emit both join roles): keep the
+    # (mask, residual)-lexicographically-smaller group as the small side
     cross = (
         small.join(large, on="k")
         .filter(
             (F.col("n_s") < F.col("n_l"))
-            | ((F.col("n_s") == F.col("n_l")) & (F.col("m_s") < F.col("m_l")))
+            | (
+                (F.col("n_s") == F.col("n_l"))
+                & (
+                    (F.col("m_s") < F.col("m_l"))
+                    | ((F.col("m_s") == F.col("m_l")) & (F.col("r_s") < F.col("r_l")))
+                )
+            )
         )
         .select(
-            "ids_s", "ids_l", (inter / union).cast("double").alias("jaccard")
+            # try_divide: an (empty, empty) self-pair survives the join
+            # planner-side before the tie-break filter prunes it; 0/0
+            # must yield NULL (dropped), not an ANSI arithmetic error
+            "ids_s", "ids_l",
+            F.try_divide(inter, union).cast("double").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(F.explode("ids_s").alias("x"), "ids_l", "jaccard")
@@ -212,7 +272,9 @@ def _jaccard_pairs_generic(base: DataFrame, threshold: float) -> DataFrame:
         .select(
             F.least("id_s", "id_l").alias("id_a"),
             F.greatest("id_s", "id_l").alias("id_b"),
-            (inter / union).cast("double").alias("jaccard"),
+            # try_divide: two empty word sets give 0/0 -> NULL -> dropped
+            # (matches the SQL oracle), never an ANSI arithmetic error
+            F.try_divide(inter, union).cast("double").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
