@@ -36,6 +36,20 @@ def cosine(a: Column, b: Column) -> Column:
     return (dot(a, b) / (l2_norm(a) * l2_norm(b))).cast("double")
 
 
+def cosine_with_norms(
+    v_a: Column, v_b: Column, n_a: Column, n_b: Column
+) -> Column:
+    """Cosine for a verify join where per-VECTOR norms were computed
+    once on the (small) vector relation instead of twice per PAIR:
+    same value bit-for-bit as :func:`cosine` (identical fold order,
+    identical ``dot / (norm_a * norm_b)`` arithmetic), 3x fewer array
+    folds per pair. (An unrolled element_at dot was tried and is ~2x
+    SLOWER: 128 leaf expressions overflow the codegen method budget and
+    fall back to per-node interpreted eval, while one zip_with fold is
+    a tight loop.)"""
+    return (dot(v_a, v_b) / (n_a * n_b)).cast("double")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,18 +171,22 @@ def cosine_near_dup_pairs(
     are pairs sharing a bucket in ANY table, verified with exact cosine
     >= threshold. Same shuffle discipline as minhash: the bucket
     self-join carries IDS ONLY; vectors are joined back once for the
-    surviving distinct candidates."""
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
-    ).select(
-        "id",
-        "t",
-        lsh_bucket_for_table(
-            F.col("_v"), F.col("t"), dim, n_planes, n_tables, seed
-        ).alias("bucket"),
-    )
+    surviving distinct candidates.
+
+    The (id, t, bucket) relation is persisted: the self-join is a
+    diamond (both sides scan it), so persisting runs the per-row
+    hyperplane sign mask (:func:`lsh_sign_mask` — the only expensive
+    expression) exactly once per corpus row. The cache is
+    MEMORY_AND_DISK and ~20 B per (row, table); it lives until the
+    session ends or ``spark.catalog.clearCache()`` — callers running
+    many operators in one long session should clear it after consuming
+    the result (the relation is derived; rebuilding costs one scan)."""
+    from pyspark.storagelevel import StorageLevel
+
+    banded = _banded_by_mask(
+        df, dim, n_planes, n_tables, seed, id_col, vec_col, "id", None,
+        widen=True,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col("id").alias("id_a"), "t", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "t", "bucket")
     cand = (
@@ -177,11 +195,28 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nv"),  # once per VECTOR, not per pair
+    )
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), on="id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), on="id_b")
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        F.col("nv").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        F.col("nv").alias("n_b")),
+            on="id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            cosine_with_norms(
+                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -336,7 +371,7 @@ def lsh_table_buckets(
     # off a non-foldable intermediate like a per-row signs array —
     # higher-order lambdas re-evaluate the captured expression on EVERY
     # access, turning 48 dots/row into 48^2.)
-    planes = F.expr(_planes_expr_sql(dim, n_planes, n_tables, seed))
+    planes = _planes_expr(dim, n_planes, n_tables, seed)
 
     def plane_dot(p_idx: Column) -> Column:
         return F.aggregate(
@@ -362,6 +397,15 @@ def lsh_table_buckets(
 
 
 @functools.lru_cache(maxsize=32)
+def _planes_expr(dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """Parsed plane-matrix literal Column, cached: the SQL string is
+    ~60 KB at 48x64 doubles and re-parsing it on every query build cost
+    ~0.5 s per call site — the expression tree is session-independent,
+    so one parse serves every query in the process."""
+    return F.expr(_planes_expr_sql(dim, n_planes, n_tables, seed))
+
+
+@functools.lru_cache(maxsize=32)
 def _planes_expr_sql(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
     """SQL array-of-arrays literal of all hyperplanes (cached — repr()
     round-trips each double exactly)."""
@@ -372,6 +416,86 @@ def _planes_expr_sql(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
         for t in range(n_tables)
         for p in range(n_planes)
     ) + ")"
+
+
+def lsh_sign_mask(vec: Column, dim: int, n_bits: int, seed: int = 42) -> Column:
+    """ALL hyperplane sign bits as ONE int64: bit ``i`` is set iff
+    ``dot(vec, plane_i) > 0`` (plane family shared with
+    :func:`lsh_bucket` / :func:`lsh_bucket_for_table`, flat index
+    ``i = t * n_planes + p``).
+
+    This is the compute-once primitive behind the multi-table LSH
+    operators: the ``n_bits`` full-dimension dot products run exactly
+    once per row, BELOW any per-table explode; each table's bucket is
+    then ``(mask >> t*n_planes) & (2^n_planes - 1)`` — a bit op that is
+    re-evaluation-cheap wherever Generate/codegen touches it (the
+    round-2 regression came from hanging the dot products themselves
+    off the exploded table index)."""
+    planes = _planes_expr(dim, n_bits, 1, seed)
+
+    def plane_dot(i: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec, F.element_at(planes, i), lambda x, w: (x * w).cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            plane_dot(i) > 0, F.pow(F.lit(2.0), i - 1).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def _banded_by_mask(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str | None,
+    widen: bool = False,
+) -> DataFrame:
+    """(id[, vec], t, bucket) — one row per (input row, hash table),
+    with the bucket derived from a sign mask computed ONCE per input
+    row (below the Generate), not per exploded output row.
+
+    ``widen``: round-robin repartition the input to the session's core
+    count before the mask projection IFF its scan has fewer splits —
+    the mask is the compute-heavy step (n_bits interpreted dots/row)
+    and a small parquet arrives as one split, serializing it. At real
+    scale the scan has splits >> cores and this is a no-op (no exchange
+    added), so the corpus never pays a shuffle for it."""
+    if widen:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < cores:
+            df = df.repartition(cores)
+    n_bits = n_planes * n_tables
+    masked = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias("_v"),
+        lsh_sign_mask(F.col(vec_col), dim, n_bits, seed).alias("_m"),
+    )
+    keep = [id_alias] + ([vec_alias] if vec_alias else []) + ["t"]
+    return masked.select(
+        id_alias,
+        *([F.col("_v").alias(vec_alias)] if vec_alias else []),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
+        "_m",
+    ).select(
+        *keep,
+        F.expr(
+            f"shiftrightunsigned(_m, t * {n_planes}) & {(1 << n_planes) - 1}"
+        ).alias("bucket"),
+    )
 
 
 def lsh_bucket_for_table(
@@ -387,7 +511,7 @@ def lsh_bucket_for_table(
     per-element Column construction round-trips every value through the
     py4j bridge (~seconds at tables x planes x dim elements), while one
     expr string parses in milliseconds and analysis stays flat."""
-    planes = F.expr(_planes_expr_sql(dim, n_planes, n_tables, seed))
+    planes = _planes_expr(dim, n_planes, n_tables, seed)
 
     def plane_dot(p_idx: Column) -> Column:
         return F.aggregate(
@@ -430,23 +554,24 @@ def lsh_topk(
     place and the only shuffle is the (query_id, neighbor_id, cosine)
     triple dedup + top-k — candidates ∝ bucket sizes, never the corpus
     cross product.
+
+    The n_tables buckets of a row derive from ONE
+    :func:`lsh_sign_mask` evaluated below the explode (all
+    ``n_planes * n_tables`` dots exactly once per row); only shift/AND
+    bit ops ride above the Generate. The corpus streams through in a
+    single pass, so no persist is needed (unlike the self-join
+    diamonds in :func:`cosine_near_dup_pairs` / minhash).
     """
     from pyspark.sql.window import Window
 
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
-        ).withColumn(
-            "bucket",
-            lsh_bucket_for_table(
-                F.col(vec_alias), F.col("t"), dim, n_planes, n_tables, seed
-            ),
-        )
-
-    cb = banded(corpus, "neighbor_id", "c_vec")
-    qb = F.broadcast(banded(queries, "query_id", "q_vec"))
+    cb = _banded_by_mask(
+        corpus, dim, n_planes, n_tables, seed, id_col, vec_col,
+        "neighbor_id", "c_vec", widen=True,
+    )
+    qb = F.broadcast(_banded_by_mask(
+        queries, dim, n_planes, n_tables, seed, id_col, vec_col,
+        "query_id", "q_vec",
+    ))
     scored = (
         cb.join(qb, on=["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
