@@ -631,11 +631,15 @@ def _q_doc_fingerprint(spark, sf):
 
 def _q_dedup_clusters(spark, sf):
     """Duplicate CLUSTERS: connected components (min-label propagation)
-    over the exact jaccard>=0.8 pair graph — the keep-one-per-cluster
-    step between pair detection and a dedup'd corpus. Oracle: recursive
-    CTE computing the same min-reachable-id fixpoint."""
+    over the MINHASH-LSH candidate pair graph — the keep-one-per-cluster
+    step between pair detection and a dedup'd corpus, fed from the
+    sub-quadratic pair source a 100-TB run would use (the exact jaccard
+    feed is the verification-grade alternative; clusters inherit the
+    pair source's recall contract — an LSH-missed bridging pair can
+    split a component). Oracle: golden parquet = union-find over the
+    independently-derived minhash golden pairs (tools/make_golden.py)."""
     d = _t(spark, sf, "documents")
-    pairs = dedup.jaccard_pairs(d, threshold=0.8)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
     return dedup.duplicate_clusters(pairs)
 
 
@@ -1143,23 +1147,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
         """,
-        "dedup_clusters": f"""
-            WITH RECURSIVE base AS (
-              SELECT doc_id AS id, {_WSET} AS ws, len({_WSET}) AS n
-              FROM documents),
-            p AS (
-              SELECT a.id AS id_a, b.id AS id_b
-              FROM base a JOIN base b
-                ON a.id < b.id AND 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n
-              WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
-                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8),
-            e AS (SELECT id_a AS a, id_b AS b FROM p
-                  UNION SELECT id_b, id_a FROM p),
-            reach(v, u) AS (
-              SELECT a, a FROM e
-              UNION SELECT a, b FROM e
-              UNION SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a)
-            SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+        # golden: union-find over the independently-derived minhash pair
+        # graph (tools/make_golden.py clusters_golden) — same pair source
+        # as the Spark query; DuckDB cannot evaluate Spark's xxhash64
+        "dedup_clusters": """
+            SELECT doc_id, cluster_id
+            FROM read_parquet('/root/repo/tests/golden/dedup_clusters.sf0.01.parquet')
         """,
         "corpus_curation": f"""
             WITH t AS (

@@ -348,6 +348,14 @@ def minhash_lsh_pairs(
     values matches exactly. Candidates are then verified with true
     Jaccard over shingle sets, so the output has no LSH false positives
     (recall, not precision, is probabilistic — standard LSH contract).
+
+    Cache lifecycle: the hashed-shingle and banded relations are
+    persisted (MEMORY_AND_DISK, disk-spillable) because the plan is a
+    diamond — they are scanned by both self-join sides and the verify
+    joins. They are NOT unpersisted here: the result DataFrame is lazy
+    and still references them. Callers running many operators in one
+    long session should ``spark.catalog.clearCache()`` after consuming
+    the result (both relations are derived; rebuilding costs one scan).
     """
     rows = num_hashes // bands
     # band-join on IDS ONLY: the full shingle sets must not ride the
@@ -473,16 +481,24 @@ def duplicate_clusters(
     clusters ``(doc_id, cluster_id)`` with ``cluster_id = min id reachable
     through duplicate edges`` — the step a curation pipeline needs between
     pair detection (jaccard/minhash/simhash/cosine) and "keep one doc per
-    cluster".
+    cluster". The clusters inherit the pair source's recall contract:
+    over exact pairs (jaccard_pairs) components are exact; over LSH
+    candidates (minhash/cosine) a missed bridging pair can split a
+    component — the scale tradeoff lives in the pair stage, not here.
 
     Distributed min-label propagation: each round every vertex takes the
-    minimum of its own label and its neighbors' labels (one equi-join +
-    one partial-aggregated groupBy per round, both shuffle-partitionable;
-    no driver-side graph). Converges in <= graph-diameter rounds — small
-    for duplicate clusters, which are near-cliques; the loop stops early
-    on a converged round (the only driver values are per-round change
-    counts). The fixpoint (min reachable id) is engine-independent, so a
-    recursive-CTE SQL oracle can replay it exactly.
+    min of its own label and its neighbors' labels, as ONE
+    union+groupBy-min (plus the edge join) — no second join for change
+    detection: labels only ever decrease, so ``sum(label)`` is strictly
+    decreasing until the fixpoint and one tiny per-round aggregate row
+    detects convergence. ``localCheckpoint`` truncates the per-round
+    lineage so the plan stays flat across iterations. Converges in
+    <= graph-diameter rounds — small for duplicate clusters, which are
+    near-cliques. Raises if ``max_iterations`` rounds pass without
+    reaching the fixpoint (a silent non-converged result would split
+    long-chain components with no signal to the caller). The fixpoint
+    (min reachable id) is engine-independent, so a recursive-CTE SQL or
+    union-find golden oracle can replay it exactly.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (
@@ -490,37 +506,35 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
-        "l", F.col("v")
-    ).persist()
-    labels.count()
+    labels = (
+        edges.select(F.col("a").alias("v")).distinct()
+        .withColumn("l", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
     try:
         for _ in range(max_iterations):
             neigh = (
                 edges.join(labels, edges["b"] == labels["v"])
-                .groupBy("a")
-                .agg(F.min("l").alias("nl"))
+                .select(edges["a"].alias("v"), labels["l"])
             )
-            nl = F.least(labels["l"], F.coalesce(neigh["nl"], labels["l"]))
-            # the change flag rides the same pass — no second join to
-            # detect convergence; localCheckpoint truncates the per-round
-            # lineage so the plan does not grow with the iteration count
-            new_labels = (
-                labels.join(neigh, labels["v"] == neigh["a"], "left")
-                .select(
-                    labels["v"],
-                    nl.alias("l"),
-                    (nl < labels["l"]).alias("chg"),
-                )
+            labels = (
+                labels.unionByName(neigh)
+                .groupBy("v")
+                .agg(F.min("l").alias("l"))
                 .localCheckpoint(eager=True)
             )
-            changed = new_labels.filter("chg").count()
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(
-            F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
+            row = labels.agg(F.sum("l").alias("s")).collect()[0]
+            cur_sum = row["s"]
+            if cur_sum == prev_sum:
+                return labels.select(
+                    F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
+                )
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds "
+            "(pair graph diameter exceeds the iteration budget); raise "
+            "max_iterations"
         )
     finally:
         edges.unpersist()

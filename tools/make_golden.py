@@ -93,6 +93,33 @@ def minhash_lsh_golden(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def clusters_golden(docs: pd.DataFrame) -> pd.DataFrame:
+    """Duplicate clusters = connected components (min reachable id) over
+    the minhash-LSH pair graph, via plain union-find — an independent
+    replay of dedup.duplicate_clusters' fixpoint over the same pair
+    source the driver query uses."""
+    pairs = minhash_lsh_golden(docs)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = sorted((v, find(v)) for v in parent)
+    return pd.DataFrame(out, columns=["doc_id", "cluster_id"]).astype(
+        {"doc_id": "int64", "cluster_id": "int64"}
+    )
+
+
 def simhash64(text: str) -> int:
     votes = [0] * 64
     for t in toks(text):
@@ -130,11 +157,15 @@ def main() -> None:
                                columns=["doc_id", "text"])
         mh = minhash_lsh_golden(docs)
         sim = simhash_golden(docs)
+        cl = clusters_golden(docs)
         mh.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_minhash_lsh.sf{sf}.parquet"),
                       index=False)
         sim.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_simhash.sf{sf}.parquet"),
                        index=False)
-        print(f"sf{sf}: minhash_lsh={len(mh)} pairs, simhash={len(sim)} pairs")
+        cl.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_clusters.sf{sf}.parquet"),
+                      index=False)
+        print(f"sf{sf}: minhash_lsh={len(mh)} pairs, simhash={len(sim)} pairs, "
+              f"clusters={len(cl)} docs")
 
 
 if __name__ == "__main__":
