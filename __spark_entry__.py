@@ -152,6 +152,10 @@ def _q_fingerprint_report(spark, sf):
         fingerprint_col=fp,
         rt_col=F.col("value") / 1000.0,
         error_col=(F.col("event_type") == "error").cast("int"),
+        # schema analog: the shard-schema a user's events route to
+        schema_col=F.concat(F.lit("db"), F.pmod(F.col("user_id"), F.lit(4))),
+        # error detail analog: the raw payload of error rows (<=5 kept)
+        error_sample_col=F.col("props"),
     )
 
 
@@ -934,7 +938,9 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS success_rate,
                    round(min(value/1000.0), 6) AS min_rt,
                    round(avg(value/1000.0), 6) AS avg_rt,
-                   round(max(value/1000.0), 6) AS max_rt
+                   round(max(value/1000.0), 6) AS max_rt,
+                   array_to_string(list_sort(list(DISTINCT 'db' || CAST(user_id % 4 AS VARCHAR))), ',') AS schemas_touched,
+                   coalesce(array_to_string(list_slice(list_sort(list(DISTINCT props) FILTER (WHERE event_type='error')), 1, 5), ','), '') AS error_samples
             FROM events GROUP BY 1
         """,
         "rt_histogram": """

@@ -86,16 +86,21 @@ def export_parquet(
 
 
 def export_xlsx(
-    df: DataFrame, path: str, sheet: str = "data", max_rows: int = 1_048_576
+    df: DataFrame, path: str, sheet: str = "data", max_rows: int = 1_048_575
 ) -> int:
     """Excel export (ref ``worker/common/writer/XlsxFileWriter.java``)
     via the stdlib OpenXML writer. Driver-side and row-capped at the
     format's own sheet limit — Excel is a convenience sink, not a scale
     path (the reference single-threads it too); use export_csv/parquet
-    for volume. Returns the number of data rows written."""
+    for volume. Returns the number of data rows written.
+
+    ``max_rows`` counts DATA rows; the prepended header occupies one of
+    the format's 1,048,576 sheet rows, so the cap is limit-1 (a
+    1,048,576-data-row sheet would be one past the hard limit and Excel
+    would reject/repair the file)."""
     from polardbx_tools_spark.xlsx import write_xlsx
 
-    rows = df.limit(max_rows).collect()
+    rows = df.limit(min(max_rows, 1_048_575)).collect()
     write_xlsx(path, {sheet: [list(df.columns)] + [list(r) for r in rows]})
     return len(rows)
 

@@ -23,10 +23,21 @@ def fingerprint_report(
     rt_col: Column,
     error_col: Column | None = None,
     sample_col: Column | None = None,
+    schema_col: Column | None = None,
+    error_sample_col: Column | None = None,
+    max_error_samples: int = 5,
 ) -> DataFrame:
     """Per-template replay report: requests, errors, success rate,
     min/avg/max RT, one sample statement — the reference's detail sheet
-    (``DefaultReport.java:12-39``) as one wide aggregation."""
+    (``DefaultReport.java:12-39``) as one wide aggregation.
+
+    ``schema_col`` adds ``schemas_touched`` (the sorted distinct schema
+    names a template hit, comma-joined — ``DefaultReport.java``'s schema
+    set) and ``error_sample_col`` adds ``error_samples`` (up to
+    ``max_error_samples`` sorted distinct messages from error rows —
+    the reference keeps <=5 per template, merged at ``Frodo.java:772-903``).
+    Both are strings, not arrays, matching the report-cell rendering and
+    keeping the columns hash-comparable across engines."""
     err = error_col if error_col is not None else F.lit(0)
     aggs = [
         F.count("*").cast("long").alias("requests"),
@@ -38,6 +49,28 @@ def fingerprint_report(
     ]
     if sample_col is not None:
         aggs.append(F.min(sample_col).alias("sample"))
+    if schema_col is not None:
+        aggs.append(
+            F.array_join(F.sort_array(F.collect_set(schema_col)), ",").alias(
+                "schemas_touched"
+            )
+        )
+    if error_sample_col is not None:
+        # collect_set ignores NULLs, so non-error rows drop out of the when()
+        aggs.append(
+            F.array_join(
+                F.slice(
+                    F.sort_array(
+                        F.collect_set(
+                            F.when(err.cast("int") == 1, error_sample_col)
+                        )
+                    ),
+                    1,
+                    max_error_samples,
+                ),
+                ",",
+            ).alias("error_samples")
+        )
     return df.groupBy(fingerprint_col.alias("fingerprint")).agg(*aggs)
 
 
