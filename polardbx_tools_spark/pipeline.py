@@ -52,6 +52,7 @@ class RunResult:
     batches: int = 0
     events_applied: int = 0
     events_quarantined: int = 0
+    circles: int = 1  # replay passes completed (frodo --circle analog)
     stats: list[MergeStats] = field(default_factory=list)
     # rate-factor replay delay gauge (seconds behind the event-time
     # schedule after each batch; ref frodo MonitorThread.java:92-95)
@@ -147,18 +148,41 @@ class CdcPipeline:
 
     # --------------------------------------------------------------- apply
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> MergeStats:
-        """Apply one already-windowed changelog slice."""
-        batch = self._offsets_filter(batch)
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        skip_offsets_filter: bool = False,
+        timeout: float | None = None,
+    ) -> MergeStats:
+        """Apply one already-windowed changelog slice.
+
+        ``skip_offsets_filter`` re-applies already-committed events —
+        only meaningful for circle replay, where the idempotent merge
+        absorbs them as exact-tie no-ops.
+
+        ``timeout`` (seconds) is the per-batch wall guard (frodo's
+        ``--sql-timeout``, ``MysqlWrapper.java:53-126``, applied at the
+        engine's unit of work — the microbatch): a watchdog cancels the
+        batch's Spark job group on expiry, the batch id is quarantined
+        to ``_errors/timeout_batches.jsonl`` and the run aborts. Offsets
+        never advanced (they commit with the data), so a resumed run
+        retries the batch from the committed snapshot.
+        """
+        if not skip_offsets_filter:
+            batch = self._offsets_filter(batch)
         df, bad = self._split_quarantine(batch)
-        stats = merge_into(
-            self.spark,
-            self.table,
-            df,
-            batch_id=batch_id,
-            key_cols=self.key_cols,
-            invalid_cond=bad,
-        )
+        if timeout is not None:
+            stats = self._apply_with_timeout(df, bad, batch_id, timeout)
+        else:
+            stats = merge_into(
+                self.spark,
+                self.table,
+                df,
+                batch_id=batch_id,
+                key_cols=self.key_cols,
+                invalid_cond=bad,
+            )
         if stats.invalid_events:
             # rare path: only malformed batches pay a second (filtered) scan
             df.filter(bad).withColumn(
@@ -193,6 +217,54 @@ class CdcPipeline:
         )
         return stats
 
+    def _apply_with_timeout(self, df, bad, batch_id: int, timeout: float) -> MergeStats:
+        import json
+        import threading
+
+        sc = self.spark.sparkContext
+        group = f"cdc-batch-{batch_id}"
+        fired = threading.Event()
+
+        def _cancel() -> None:
+            fired.set()
+            sc.cancelJobGroup(group)
+
+        watchdog = threading.Timer(timeout, _cancel)
+        sc.setJobGroup(group, f"cdc microbatch {batch_id} (timeout {timeout}s)")
+        watchdog.start()
+        try:
+            return merge_into(
+                self.spark,
+                self.table,
+                df,
+                batch_id=batch_id,
+                key_cols=self.key_cols,
+                invalid_cond=bad,
+            )
+        except Exception as e:
+            if not fired.is_set():
+                raise
+            os.makedirs(self._errors_dir, exist_ok=True)
+            with open(
+                os.path.join(self._errors_dir, "timeout_batches.jsonl"),
+                "a",
+                encoding="utf-8",
+            ) as f:
+                f.write(json.dumps({
+                    "batch_id": batch_id,
+                    "timeout_sec": timeout,
+                    "error": str(e)[:500],
+                }) + "\n")
+            raise RuntimeError(
+                f"batch {batch_id} exceeded batch_timeout={timeout}s and was "
+                f"cancelled (quarantined at {self._errors_dir}/"
+                f"timeout_batches.jsonl; offsets did not advance — a resumed "
+                f"run retries this window)"
+            ) from e
+        finally:
+            watchdog.cancel()
+            sc.setJobGroup("", "")
+
     def run(
         self,
         changelog: DataFrame,
@@ -204,6 +276,8 @@ class CdcPipeline:
         rate_factor: float | None = None,
         monitor: bool = False,
         compact_every: int | None = None,
+        circle: int = 1,
+        batch_timeout: float | None = None,
     ) -> RunResult:
         """Microbatch the changelog by LSN windows and apply each.
 
@@ -226,72 +300,96 @@ class CdcPipeline:
         MonitorThread (``thread/MonitorThread.java:35-114``).
         ``compact_every`` compacts the table after every N batches
         (steady-state file-count control for long tails).
+
+        ``circle`` replays the whole changelog ``circle`` times (frodo
+        ``--circle``, ``frodo/README.md:144-145``): passes after the
+        first run at MAX PRESSURE — event-time pacing and TPS caps are
+        forced off and the committed-offsets filter is bypassed, so
+        every window re-drives the full merge path and the idempotent
+        last-writer-wins order absorbs each event as an exact-tie no-op.
+        The final table state is identical to a single pass (tested).
+
+        ``batch_timeout`` aborts + quarantines a batch whose wall time
+        exceeds the budget (see :meth:`apply_batch`).
         """
         self.ensure_table(with_tool=with_tool)
         if max_lsn is None:
             max_lsn = changelog.agg(F.max(LSN_COL)).collect()[0][0]
             if max_lsn is None:
                 return RunResult()
-        # resume: don't re-scan windows fully below the global min offset
-        offsets = self.table.offsets()
-        lo = 0
-        if offsets:
-            lo = (min(offsets.values()) + 1) // batch_lsns * batch_lsns
         result = RunResult()
-        batch_id = lo // batch_lsns
+        result.circles = 0
         run_t0 = time.time()
         first_ts = None  # event-time origin for rate-factor replay
-        while lo <= max_lsn:
-            hi = lo + batch_lsns
-            window = changelog.filter(
-                (F.col(LSN_COL) >= lo) & (F.col(LSN_COL) < hi)
-            )
-            stats = self.apply_batch(window, batch_id=batch_id)
-            result.batches += 1
-            result.events_applied += stats.batch_events
-            result.events_quarantined += stats.invalid_events
-            result.stats.append(stats)
-            delay_txt = ""
-            if rate_factor and stats.max_ts is not None:
-                if first_ts is None and stats.min_ts is not None:
-                    first_ts = stats.min_ts
-                if first_ts is not None:
-                    # pace to the event-time schedule: this batch may not
-                    # complete before (max_ts - first_ts) * factor wall
-                    target = (stats.max_ts - first_ts).total_seconds() * rate_factor
-                    lag = target - (time.time() - run_t0)
+        batch_id = None
+        for pass_i in range(max(1, circle)):
+            replay_pass = pass_i > 0
+            lo = 0
+            if not replay_pass:
+                # resume: don't re-scan windows fully below the min offset
+                offsets = self.table.offsets()
+                if offsets:
+                    lo = (min(offsets.values()) + 1) // batch_lsns * batch_lsns
+                batch_id = lo // batch_lsns
+            while lo <= max_lsn:
+                hi = lo + batch_lsns
+                window = changelog.filter(
+                    (F.col(LSN_COL) >= lo) & (F.col(LSN_COL) < hi)
+                )
+                stats = self.apply_batch(
+                    window,
+                    batch_id=batch_id,
+                    skip_offsets_filter=replay_pass,
+                    timeout=batch_timeout,
+                )
+                result.batches += 1
+                result.events_applied += stats.batch_events
+                result.events_quarantined += stats.invalid_events
+                result.stats.append(stats)
+                delay_txt = ""
+                if rate_factor and not replay_pass and stats.max_ts is not None:
+                    if first_ts is None and stats.min_ts is not None:
+                        first_ts = stats.min_ts
+                    if first_ts is not None:
+                        # pace to the event-time schedule: this batch may not
+                        # complete before (max_ts - first_ts) * factor wall
+                        target = (stats.max_ts - first_ts).total_seconds() * rate_factor
+                        lag = target - (time.time() - run_t0)
+                        if lag > 0:
+                            time.sleep(lag)
+                        delay = max(0.0, (time.time() - run_t0) - target)
+                        result.replay_delays.append(delay)
+                        delay_txt = f" replay_delay={delay:.2f}s"
+                if monitor:
+                    elapsed = max(1e-9, time.time() - run_t0)
+                    print(
+                        f"[cdc b{batch_id}] events={stats.batch_events} "
+                        f"merged={stats.upserts + stats.deletes} "
+                        f"conflicts={stats.conflicts_resolved} "
+                        f"buckets={len(stats.affected_buckets)} "
+                        f"batch_ev/s={stats.batch_events / max(1e-9, stats.wall_ms / 1000):.0f} "
+                        f"run_ev/s={result.events_applied / elapsed:.0f} "
+                        f"progress={min(100, 100 * hi // (max_lsn + 1))}%"
+                        + (f" circle={pass_i + 1}" if replay_pass else "")
+                        + delay_txt,
+                        flush=True,
+                    )
+                if max_events_per_sec and not replay_pass:
+                    # pace like the reference's RateLimiter: sleep until the
+                    # cumulative rate drops to the target
+                    min_elapsed = result.events_applied / max_events_per_sec
+                    lag = min_elapsed - (time.time() - run_t0)
                     if lag > 0:
                         time.sleep(lag)
-                    delay = max(0.0, (time.time() - run_t0) - target)
-                    result.replay_delays.append(delay)
-                    delay_txt = f" replay_delay={delay:.2f}s"
-            if monitor:
-                elapsed = max(1e-9, time.time() - run_t0)
-                print(
-                    f"[cdc b{batch_id}] events={stats.batch_events} "
-                    f"merged={stats.upserts + stats.deletes} "
-                    f"conflicts={stats.conflicts_resolved} "
-                    f"buckets={len(stats.affected_buckets)} "
-                    f"batch_ev/s={stats.batch_events / max(1e-9, stats.wall_ms / 1000):.0f} "
-                    f"run_ev/s={result.events_applied / elapsed:.0f} "
-                    f"progress={min(100, 100 * hi // (max_lsn + 1))}%"
-                    + delay_txt,
-                    flush=True,
-                )
-            if max_events_per_sec:
-                # pace like the reference's RateLimiter: sleep until the
-                # cumulative rate drops to the target
-                min_elapsed = result.events_applied / max_events_per_sec
-                lag = min_elapsed - (time.time() - run_t0)
-                if lag > 0:
-                    time.sleep(lag)
-            if compact_every and result.batches % compact_every == 0:
-                from polardbx_tools_spark.lake.maintenance import compact
+                if compact_every and result.batches % compact_every == 0:
+                    from polardbx_tools_spark.lake.maintenance import compact
 
-                compact(self.spark, self.table)
-            lo, batch_id = hi, batch_id + 1
-            if stop_after_batches is not None and result.batches >= stop_after_batches:
-                break
+                    compact(self.spark, self.table)
+                lo, batch_id = hi, batch_id + 1
+                if stop_after_batches is not None and result.batches >= stop_after_batches:
+                    result.circles = pass_i + 1
+                    return result
+            result.circles = pass_i + 1
         return result
 
     # ---------------------------------------------------------------- read
