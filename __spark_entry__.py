@@ -737,8 +737,10 @@ def _q_ann_lsh_topk(spark, sf):
 
 def _q_ann_ivf_topk(spark, sf):
     """IVF (coarse-quantizer cell probing) ANN — the third ANN strategy
-    beside brute-force and LSH; deterministic centroids make the oracle
-    an exact SQL replica."""
+    beside brute-force and LSH. Centroids are FITTED by a deterministic
+    seeded fixed-iteration spherical k-means over a bounded sample; the
+    oracle re-runs the identical fit and embeds the fitted centroids as
+    SQL literals, so DuckDB replays the exact cell assignment."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(
@@ -1269,7 +1271,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
-        "ann_ivf_topk": _ANN_IVF_ORACLE_SQL,
+        "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
     }
 
@@ -1281,30 +1283,55 @@ _COS_SQL = (
     "sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
 )
 
-_ANN_IVF_ORACLE_SQL = f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 16),
-    sc AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             list_sum(list_transform(list_zip(e.embedding, c.cvec),
-                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-             sqrt(list_sum(list_transform(c.cvec,
-                      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS s
-      FROM e CROSS JOIN cent c),
-    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-                 ORDER BY s DESC, cid) AS rn FROM sc),
-    cells AS (SELECT vec_id, embedding, cid AS cell FROM r WHERE rn = 1),
-    probes AS (SELECT vec_id AS query_id, embedding AS q_vec, cid AS cell
-               FROM r WHERE vec_id < 8 AND rn <= 4),
-    scored AS (
-      SELECT p.query_id, c.vec_id AS neighbor_id,
-             {_COS_SQL.format(a="p.q_vec", b="c.embedding")} AS cosine
-      FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id)
-    SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-    WHERE rank <= 5
-"""
+def _ann_ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
+                        sample_rows: int = 1024, seed: int = 42,
+                        n_iters: int = 10) -> str:
+    """DuckDB oracle for the k-means IVF: re-run the SAME deterministic
+    seeded fixed-iteration spherical k-means fit over the SAME bounded
+    sample (lowest vec_ids of the gate's sf0.01 embeddings — fixed path,
+    like the golden parquets) and embed the fitted centroids as literal
+    arrays; cell assignment / probing / scoring then replay in SQL."""
+    import pandas as _pd
+
+    from polardbx_tools_spark.operators.similarity import fit_spherical_kmeans
+
+    emb = (
+        _pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .head(sample_rows)
+    )
+    cents = fit_spherical_kmeans(
+        [list(v) for v in emb["embedding"]], n_centroids, seed, n_iters
+    )
+    values = ", ".join(
+        "(" + str(i + 1) + ", [" + ", ".join(repr(float(x)) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        cent AS (SELECT * FROM (VALUES {values}) AS t(cid, cvec)),
+        sc AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                 sqrt(list_sum(list_transform(c.cvec,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS s
+          FROM e CROSS JOIN cent c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, cid) AS rn FROM sc),
+        cells AS (SELECT vec_id, embedding, cid AS cell FROM r WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, embedding AS q_vec, cid AS cell
+                   FROM r WHERE vec_id < 8 AND rn <= {n_probe}),
+        scored AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+                 {_COS_SQL.format(a="p.q_vec", b="c.embedding")} AS cosine
+          FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
 
 
 def _near_dup_oracle_sql(dim: int = 64, n_planes: int = 3, n_tables: int = 8,

@@ -232,6 +232,36 @@ def _fold_norm(vals: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def fit_spherical_kmeans(mat, k: int, seed: int = 42, iters: int = 10):
+    """Deterministic seeded spherical k-means (Lloyd, FIXED iteration
+    count, no convergence-dependent control flow): normalize rows, init
+    from a seeded sample, assign by max dot (ties → lowest centroid
+    index, matching the operators' ORDER BY s DESC, cid ASC), recenter
+    to the normalized member mean; an emptied cell keeps its previous
+    centroid. Same inputs → bit-identical centroids on any engine that
+    runs this fit, which is what lets the SQL oracle embed the fitted
+    centroids as literals."""
+    import numpy as np
+
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = mat / norms
+    rng = np.random.RandomState(seed)
+    idx = np.sort(rng.choice(len(x), size=min(k, len(x)), replace=False))
+    cents = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,29 +271,53 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "kmeans",
+    sample_rows: int = 1024,
+    n_iters: int = 10,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     vector to its nearest centroid CELL; a query scores only the vectors
     in its ``n_probe`` nearest cells — candidates ∝ probed-cell sizes,
     never the corpus.
 
-    The coarse quantizer here is deterministic (the first
-    ``n_centroids`` corpus vectors by id — production systems would
-    k-means them, the cell interface is identical), which keeps the
-    operator exactly reproducible in the SQL oracle. Centroids are tiny
-    by contract: they ride the plan as literal arrays, so cell
-    assignment is one codegen'd projection over the streamed corpus —
-    the same broadcast-small/stream-big shape as the other ANN paths.
+    ``quantizer="kmeans"`` (default) fits centroids with
+    :func:`fit_spherical_kmeans` over a deterministic bounded sample
+    (the ``sample_rows`` lowest ids — a top-k at any scale); the seeded
+    fixed-iteration fit is exactly reproducible, so the SQL oracle
+    embeds the SAME fitted centroids as literals. ``quantizer="first"``
+    keeps the degenerate first-``n_centroids``-by-id quantizer (cheap,
+    no fit pass). Centroids are tiny by contract: they ride the plan as
+    literal arrays, so cell assignment is one codegen'd projection over
+    the streamed corpus — the same broadcast-small/stream-big shape as
+    the other ANN paths.
     """
     from pyspark.sql.window import Window
 
-    cent_rows = sorted(
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect(),
-        key=lambda r: r[id_col],
-    )
-    cents = [(list(r[vec_col]), _fold_norm(r[vec_col])) for r in cent_rows]
+    if quantizer == "kmeans":
+        rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_rows)
+            .collect()
+        )
+        fitted = fit_spherical_kmeans(
+            [list(r[vec_col]) for r in rows], n_centroids, seed, n_iters
+        )
+        cents = [
+            ([float(x) for x in c], _fold_norm([float(x) for x in c]))
+            for c in fitted
+        ]
+    elif quantizer == "first":
+        cent_rows = sorted(
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect(),
+            key=lambda r: r[id_col],
+        )
+        cents = [(list(r[vec_col]), _fold_norm(r[vec_col])) for r in cent_rows]
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     # centroid matrix + norms as parsed SQL literals: single Literal
     # nodes, no per-element py4j round-trips (see _planes_expr_sql)
     cmat = F.expr(
