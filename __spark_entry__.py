@@ -499,11 +499,18 @@ def _q_cdc_lake_roundtrip(spark, sf):
             StructField("ts", TimestampType(), True),
         ])
         table = LakeTable.create(f"{tmp}/t", schema, bucket_key="conv_id",
-                                 bucket_count=8)
-        # two microbatches so cross-batch LWW + tombstones are exercised
+                                 bucket_count=8,
+                                 key_cols=("conv_id", "turn_idx"))
+        # two microbatches so cross-batch LWW + tombstones are exercised;
+        # batch 0 copy-on-write, batch 1 MERGE-ON-READ — the final read
+        # resolves delta files against the COW base by the same total
+        # order, so the gate verifies both write paths AND the read-side
+        # merge in one oracle
         mid = changelog.agg(F.expr("percentile_approx(source_lsn, 0.5)")).collect()[0][0]
-        merge_into(spark, table, changelog.filter(F.col("source_lsn") <= mid), 0)
-        merge_into(spark, table, changelog.filter(F.col("source_lsn") > mid), 1)
+        merge_into(spark, table, changelog.filter(F.col("source_lsn") <= mid), 0,
+                   mode="cow")
+        merge_into(spark, table, changelog.filter(F.col("source_lsn") > mid), 1,
+                   mode="mor")
         out = table.read(spark).select(
             "conv_id", "turn_idx", "text",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),

@@ -46,6 +46,9 @@ N_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "10000000"))
 N_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
 RUN_CLUSTER_SCALING = os.environ.get("BENCH_CLUSTER_SCALING", "1") == "1"
+RUN_MOR = os.environ.get("BENCH_MOR", "1") == "1"
+MOR_EVENTS = int(os.environ.get("BENCH_MOR_EVENTS", "1000000"))
+MOR_BATCHES = int(os.environ.get("BENCH_MOR_BATCHES", "8"))
 
 
 def bench_spec() -> ChangelogSpec:
@@ -213,6 +216,24 @@ def run_cluster_substrate_control(workdir: str) -> dict:
     }
 
 
+def run_mor_leg(workdir: str) -> dict:
+    """COW-vs-MOR write amplification on a growing hot table (see
+    tools/bench_mor.py): bytes newly referenced per data commit, wall,
+    final read cost. One isolated JVM."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "bench_mor.py"),
+            "8", workdir, str(MOR_EVENTS), str(MOR_BATCHES),
+        ],
+        capture_output=True, text=True, check=True, timeout=1800,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_query_suite(cpus: int) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -314,8 +335,23 @@ def main() -> None:
                 ),
             }
         )
+    mor = None
+    if RUN_MOR:
+        mor = run_mor_leg(workdir)
+        result["cdc"]["mor_vs_cow"] = {
+            "events": mor["events"],
+            "batches": mor["batches"],
+            "cow_write_growth": mor["cow"]["write_growth"],
+            "mor_write_growth": mor["mor"]["write_growth"],
+            "cow_bytes_last_batch": mor["cow"]["bytes_last_batch"],
+            "mor_bytes_last_batch": mor["mor"]["bytes_last_batch"],
+            "cow_events_per_sec": mor["cow"]["events_per_sec"],
+            "mor_events_per_sec": mor["mor"]["events_per_sec"],
+            "cow_read_s": mor["cow"]["read_s"],
+            "mor_read_s": mor["mor"]["read_s"],
+        }
     if RUN_SCALING and os.environ.get("BENCH_WRITE_MD") == "1":
-        write_bench_md(legs, eff, queries, substrate, xsubstrate)
+        write_bench_md(legs, eff, queries, substrate, xsubstrate, mor)
 
     shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps(result))
@@ -323,7 +359,8 @@ def main() -> None:
 
 def write_bench_md(legs: dict, eff: float, queries: dict,
                    substrate: dict | None = None,
-                   xsubstrate: dict | None = None) -> None:
+                   xsubstrate: dict | None = None,
+                   mor: dict | None = None) -> None:
     lo, hi, mx = legs["lo"], legs["hi"], legs["max"]
     lines = [
         "# BENCH — CDC merge-apply throughput & scaling",
@@ -410,6 +447,32 @@ def write_bench_md(legs: dict, eff: float, queries: dict,
             "the hardware: one shuffle per microbatch, bucket-pruned COW "
             "reads, deterministic per-key salting, no driver-side data "
             "paths, offsets/lineage O(#source-partitions).",
+            "",
+        ]
+    if mor:
+        c, m = mor["cow"], mor["mor"]
+        lines += [
+            "### Merge mode: copy-on-write vs merge-on-read "
+            f"({mor['events']:,} events, {mor['batches']} batches, growing "
+            "hot table)",
+            "",
+            "Bytes NEWLY referenced per data commit (from the snapshot "
+            "manifests) — the write-amplification measurement behind the "
+            "MOR design:",
+            "",
+            "| mode | write growth first→last batch | last-batch bytes | "
+            "events/sec | final-state read (s) |",
+            "|---|---|---|---|---|",
+            f"| cow | {c['write_growth']}x | {c['bytes_last_batch']:,} | "
+            f"{c['events_per_sec']:,} | {c['read_s']} |",
+            f"| mor | {m['write_growth']}x | {m['bytes_last_batch']:,} | "
+            f"{m['events_per_sec']:,} | {m['read_s']} |",
+            "",
+            "COW rewrites every touched bucket per batch, so its write "
+            "bytes grow with the accumulated table; MOR appends ~batch-"
+            "sized delta files and pays instead at read time (the final-"
+            "state read column) until compaction folds the deltas. Same "
+            "final rows in both modes.",
             "",
         ]
     lines += [

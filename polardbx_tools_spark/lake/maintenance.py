@@ -31,18 +31,33 @@ def compact(
 ) -> dict:
     """Rewrite each (selected) bucket's files into few key-sorted files.
 
+    Merge-on-read DELTA files fold into the new base here: the read
+    below applies the key-level merge, and committing the rewrite as
+    ``replaced_buckets`` clears the bucket's delta list — this is the
+    MOR counterpart of Iceberg's rewrite_data_files compacting delete
+    files away.
+
     ``drop_tombstones=True`` physically removes delete markers — only
     safe once no source can still deliver events older than the
     tombstones (the reference's analog: a finished replay). Committed as
     a normal atomic snapshot; readers never see a half-compacted table.
     """
     snap = table.snapshot()
-    todo = sorted(int(b) for b in snap.files) if buckets is None else sorted(buckets)
-    todo = [b for b in todo if snap.files.get(str(b))]
+    if buckets is None:
+        todo = sorted({int(b) for b in snap.files} | {int(b) for b in snap.deltas})
+    else:
+        todo = sorted(buckets)
+    # a bucket with ONLY merge-on-read deltas still needs compaction —
+    # folding them into a base file is exactly this op's job
+    todo = [b for b in todo
+            if snap.files.get(str(b)) or snap.deltas.get(str(b))]
     if not todo:
         return {"buckets": 0, "files_before": 0, "files_after": 0}
 
-    files_before = sum(len(snap.files[str(b)]) for b in todo)
+    files_before = sum(
+        len(snap.files.get(str(b), [])) + len(snap.deltas.get(str(b), []))
+        for b in todo
+    )
     df = table.read(
         spark, buckets=todo, include_bookkeeping=True, include_deleted=True
     )

@@ -126,6 +126,7 @@ def merge_into(
     key_cols: tuple[str, ...] = KEY_COLS,
     expected_version: int | None = None,
     invalid_cond: F.Column | None = None,
+    mode: str = "cow",
 ) -> MergeStats:
     """Apply one changelog microbatch to the table, committing new data
     files + advanced offsets in a single atomic snapshot.
@@ -133,6 +134,29 @@ def merge_into(
     ``batch`` columns: op, <key cols>, <payload cols...>, ts, source_lsn,
     source_partition. Payload columns not yet in the table schema trigger
     additive evolution (committed with the same snapshot).
+
+    ``mode``:
+
+    * ``"cow"`` (copy-on-write) — union the batch with the CURRENT rows
+      of the touched buckets and rewrite those buckets: write cost ∝
+      touched-bucket size, read cost zero extra. Right for read-heavy
+      tables and batch sizes comparable to bucket sizes.
+    * ``"mor"`` (merge-on-read) — dedup the batch per key and APPEND it
+      as per-bucket delta files (upserts + tombstones, same bookkeeping
+      columns): write cost ∝ BATCH size — a hot-bucket workload no
+      longer rewrites the whole bucket every microbatch (the reference's
+      point-write sinks, ``worker/update/ReplaceConsumer.java:28-52``,
+      ``worker/delete/DeleteInConsumer.java:29-62``, touch only affected
+      rows for the same reason). Reads merge base+deltas by the SAME
+      total order (see ``LakeTable.read``); compaction folds deltas back
+      into the base. Cross-batch conflicts resolve at read time, so
+      ``conflicts_resolved`` here counts only within-batch losers.
+
+    Both modes share one physical shape: shuffle ONCE by
+    ``(bucket, salt(key))``, sort by ``(key, seq desc)``, first row of
+    each key run wins, the same sort clusters the write. The only
+    difference is whether the target's rows join the union and whether
+    the commit replaces bucket file lists or appends to their deltas.
     """
     t0 = time.time()
     debug = os.environ.get("MERGE_DEBUG") == "1"
@@ -231,6 +255,8 @@ def merge_into(
     # (``cmd/FlagOption.java:47-48``).
     from pyspark.sql.window import Window
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r}")
     src = _align_source_payload(batch, schema).select(
         *[F.col(c) for c in payload_cols],
         F.col(TS_COL).alias(SEQ_TS),
@@ -239,29 +265,31 @@ def merge_into(
         (F.col(OP_COL) == F.lit("D")).alias(DELETED),
         F.lit(1).alias("_is_src"),
     )
-    tgt = table.read(
-        spark, buckets=affected, include_bookkeeping=True, include_deleted=True
-    )
-    for f in schema.fields:  # evolved columns read as NULL from old files
-        if f.name not in tgt.columns:
-            tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
-    tgt = tgt.select(
-        *[F.col(c) for c in payload_cols],
-        F.col(SEQ_TS),
-        F.col(SEQ_LSN),
-        F.col(SEQ_PART),
-        F.coalesce(F.col(DELETED), F.lit(False)).alias(DELETED),
-        F.lit(0).alias("_is_src"),
-    )
+    if mode == "cow":
+        tgt = table.read(
+            spark, buckets=affected, include_bookkeeping=True, include_deleted=True
+        )
+        for f in schema.fields:  # evolved columns read as NULL from old files
+            if f.name not in tgt.columns:
+                tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
+        tgt = tgt.select(
+            *[F.col(c) for c in payload_cols],
+            F.col(SEQ_TS),
+            F.col(SEQ_LSN),
+            F.col(SEQ_PART),
+            F.coalesce(F.col(DELETED), F.lit(False)).alias(DELETED),
+            F.lit(0).alias("_is_src"),
+        )
+        src = src.unionByName(tgt)
+    # else MOR: the target never joins the union — within-batch dedup
+    # only, the delta files resolve against the base at read time
     # adaptive salt: enough sub-splits per bucket to keep every core busy
     # without exploding the file count (files/batch ≈ shuffle partitions)
     cores = spark.sparkContext.defaultParallelism
     salt_n = max(1, (2 * cores) // max(1, len(affected)))
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(salt_n))
 
-    unioned = (
-        src.unionByName(tgt).withColumn("b", bucket).withColumn("_salt", salt)
-    )
+    unioned = src.withColumn("b", bucket).withColumn("_salt", salt)
     w = Window.partitionBy(F.col("b"), F.col("_salt")).orderBy(
         *[F.col(k) for k in key_cols],
         F.col(SEQ_TS).desc(),
@@ -346,14 +374,14 @@ def merge_into(
             ranked.unpersist()
 
     # -- 8. collect staged file lists per bucket, commit atomically
-    replaced: dict[int, list[str]] = {b: [] for b in affected}
+    staged: dict[int, list[str]] = {b: [] for b in affected}
     rel = os.path.relpath(staging, table.path)
     if os.path.isdir(staging):
         for d in os.listdir(staging):
             if not d.startswith("b="):
                 continue
             bb = int(d.split("=", 1)[1])
-            replaced[bb] = sorted(
+            staged[bb] = sorted(
                 os.path.join(rel, d, fn)
                 for fn in os.listdir(os.path.join(staging, d))
                 if fn.endswith(".parquet")
@@ -365,10 +393,11 @@ def merge_into(
     # and re-quarantine those events on every resume.
     offsets_updates = {p: v["max_lsn"] for p, v in stats.per_partition.items()}
     committed = table.commit(
-        replaced_buckets=replaced,
+        replaced_buckets=staged if mode == "cow" else {},
+        appended_deltas=staged if mode == "mor" else None,
         offsets_updates=offsets_updates,
         schema=schema if evolved else None,
-        properties={"batch_id": str(batch_id)},
+        properties={"batch_id": str(batch_id), "mode": mode},
         expected_version=expected_version,
     )
     stats.committed_version = committed.version

@@ -27,6 +27,8 @@ Layout::
         _current           # pointer file, flipped via os.replace (atomic)
       data/
         v<NNNNNNNN>/b=<bucket>/*.parquet   # files staged by the commit
+                                           # (base rewrites OR MOR deltas —
+                                           # the manifest says which)
       _lineage/*.parquet   # per-microbatch metrics (append-only)
 
 Crash-safety: data files are staged under the *next* version's directory
@@ -88,13 +90,37 @@ class Snapshot:
     parent: int | None = None
     committed_at: float = 0.0
     properties: dict[str, str] = field(default_factory=dict)
+    # merge-on-read DELTA files per bucket (upserts + tombstones appended
+    # by MOR commits, merged with the base at read time, folded into the
+    # base by compaction / the next COW rewrite of the bucket). Absent in
+    # pre-MOR manifests -> default {} keeps them readable.
+    deltas: dict[str, list[str]] = field(default_factory=dict)
+    # full row key for read-time last-writer-wins (bucket_key is only its
+    # leading column); None in pre-MOR manifests (no deltas to merge)
+    key_cols: list[str] | None = None
 
     @property
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
 
     def all_files(self) -> list[str]:
-        return [f for fl in self.files.values() for f in fl]
+        """Every referenced data file (base + deltas) — liveness for
+        vacuum and file-diff for incremental reads."""
+        return [f for fl in self.files.values() for f in fl] + [
+            f for fl in self.deltas.values() for f in fl
+        ]
+
+    def base_files(self, buckets: list[int] | None = None) -> list[str]:
+        if buckets is None:
+            return [f for fl in self.files.values() for f in fl]
+        want = {str(b) for b in buckets}
+        return [f for b, fl in self.files.items() if b in want for f in fl]
+
+    def delta_files(self, buckets: list[int] | None = None) -> list[str]:
+        if buckets is None:
+            return [f for fl in self.deltas.values() for f in fl]
+        want = {str(b) for b in buckets}
+        return [f for b, fl in self.deltas.items() if b in want for f in fl]
 
 
 def suggest_bucket_count(
@@ -110,8 +136,9 @@ def suggest_bucket_count(
     up to a power of two (stable pmod distribution), clamped to
     [8, 65536]. At 10^10 rows that yields 8192 buckets; a batch touching
     1% of conversations then rewrites ~1% of the data, not all of it.
-    (Merge-on-read delete files are the eventual path beyond that —
-    documented in README; out of scope for this engine's COW design.)
+    (Merge-on-read delta files — ``merge_into(mode="mor")`` — are the
+    path beyond that: write cost per batch drops to ~batch size and the
+    bucket count then mainly controls read/compaction parallelism.)
     """
     n = max(1, (expected_rows + target_rows_per_bucket - 1) // target_rows_per_bucket)
     b = 1
@@ -168,8 +195,13 @@ class LakeTable:
         schema: StructType,
         bucket_key: str = "conv_id",
         bucket_count: int = 16,
+        key_cols: tuple[str, ...] | None = None,
     ) -> "LakeTable":
-        """Create an empty table (version 0, no files, empty offsets)."""
+        """Create an empty table (version 0, no files, empty offsets).
+
+        ``key_cols`` is the full row key (read-time last-writer-wins for
+        merge-on-read deltas needs it; ``bucket_key`` must be its leading
+        column). Defaults to ``(bucket_key,)``."""
         t = cls(path)
         if t.exists():
             raise FileExistsError(f"lake table already exists at {path}")
@@ -184,6 +216,7 @@ class LakeTable:
             offsets={},
             parent=None,
             committed_at=time.time(),
+            key_cols=list(key_cols) if key_cols else [bucket_key],
         )
         t._write_snapshot(snap)
         t._flip_pointer(0)
@@ -229,19 +262,48 @@ class LakeTable:
         Old files missing newly-added columns read as NULL (parquet scan
         with an explicit, evolved schema) — additive evolution without a
         rewrite, same effect as Iceberg schema merge.
+
+        MERGE-ON-READ: when the selected buckets carry delta files
+        (appended by MOR commits), the scan unions base + deltas and
+        keeps the last writer per key by the same total order the COW
+        merge uses — ``(SEQ_TS, SEQ_LSN, SEQ_PART) desc``, base winning
+        exact ties (a replayed event folded into the base and still
+        present as a delta is a no-op). A pure-COW snapshot (no deltas)
+        adds NO merge window: the plan is the plain pruned scan.
         """
         snap = self.snapshot(version)
         schema = _with_bookkeeping(snap.schema)
-        if buckets is None:
-            files = snap.all_files()
+        base_files = snap.base_files(buckets)
+        delta_files = snap.delta_files(buckets)
+
+        def scan(files: list[str]) -> DataFrame:
+            if not files:
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+
+        if not delta_files:
+            df = scan(base_files)
         else:
-            want = {str(b) for b in buckets}
-            files = [f for b, fl in snap.files.items() if b in want for f in fl]
-        if not files:
-            df = spark.createDataFrame([], schema)
-        else:
-            paths = [os.path.join(self.path, f) for f in files]
-            df = spark.read.schema(schema).parquet(*paths)
+            key_cols = snap.key_cols or [snap.bucket_key]
+            from pyspark.sql.window import Window
+
+            unioned = (
+                scan(base_files).withColumn("_is_delta", F.lit(0))
+                .unionByName(scan(delta_files).withColumn("_is_delta", F.lit(1)))
+            )
+            w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+                F.col(SEQ_TS).desc(),
+                F.col(SEQ_LSN).desc(),
+                F.col(SEQ_PART).desc(),
+                F.col("_is_delta").asc(),
+            )
+            df = (
+                unioned.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_is_delta")
+            )
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(DELETED), F.lit(False)))
         if not include_bookkeeping:
@@ -276,11 +338,17 @@ class LakeTable:
         schema: StructType | None = None,
         properties: dict[str, str] | None = None,
         expected_version: int | None = None,
+        appended_deltas: dict[int, list[str]] | None = None,
     ) -> Snapshot:
         """Commit a new snapshot: swap in new file lists for the replaced
         buckets, carry every other bucket over, advance offsets, flip the
         pointer atomically. Offsets move monotonically (max with current),
-        so re-applying an already-committed batch is a no-op."""
+        so re-applying an already-committed batch is a no-op.
+
+        ``appended_deltas`` ADDS merge-on-read delta files to buckets
+        (write cost ∝ batch, not bucket). REPLACING a bucket clears its
+        deltas: a COW rewrite / compaction reads base+deltas merged, so
+        the new base supersedes them."""
         cur = self.snapshot()
         if expected_version is not None and cur.version != expected_version:
             raise RuntimeError(
@@ -288,8 +356,14 @@ class LakeTable:
                 f"found v{cur.version}"
             )
         files = dict(cur.files)
+        deltas = {k: list(v) for k, v in cur.deltas.items()}
         for b, fl in replaced_buckets.items():
             files[str(b)] = fl
+            deltas.pop(str(b), None)  # folded into the new base
+        for b, fl in (appended_deltas or {}).items():
+            if str(b) in replaced_buckets or b in replaced_buckets:
+                raise ValueError(f"bucket {b} both replaced and delta-appended")
+            deltas.setdefault(str(b), []).extend(fl)
         offsets = {k: int(v) for k, v in cur.offsets.items()}
         for p, lsn in offsets_updates.items():
             k = str(p)
@@ -304,6 +378,8 @@ class LakeTable:
             parent=cur.version,
             committed_at=time.time(),
             properties=properties or {},
+            deltas={k: v for k, v in deltas.items() if v},
+            key_cols=cur.key_cols,
         )
         self._write_snapshot(snap)
         self._flip_pointer(snap.version)

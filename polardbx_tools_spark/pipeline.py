@@ -66,6 +66,10 @@ class RunResult:
 
 
 class CdcPipeline:
+    #: default merge mode for new pipelines; "cow" rewrites touched
+    #: buckets, "mor" appends per-batch delta files (see lake.merge)
+    DEFAULT_MERGE_MODE = "cow"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -73,12 +77,14 @@ class CdcPipeline:
         bucket_count: int = 16,
         key_cols: tuple[str, ...] = KEY_COLS,
         max_errors: int = 0,
+        merge_mode: str | None = None,
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
         self.bucket_count = bucket_count
         self.key_cols = key_cols
         self.max_errors = max_errors
+        self.merge_mode = merge_mode or self.DEFAULT_MERGE_MODE
         self._errors_dir = os.path.join(os.path.abspath(table_path), "_errors")
 
     # ----------------------------------------------------------- lifecycle
@@ -90,6 +96,7 @@ class CdcPipeline:
                 transcripts_schema(with_tool),
                 bucket_key=self.key_cols[0],
                 bucket_count=self.bucket_count,
+                key_cols=self.key_cols,
             )
         return self.table
 
@@ -182,6 +189,7 @@ class CdcPipeline:
                 batch_id=batch_id,
                 key_cols=self.key_cols,
                 invalid_cond=bad,
+                mode=self.merge_mode,
             )
         if stats.invalid_events:
             # rare path: only malformed batches pay a second (filtered) scan
@@ -240,6 +248,7 @@ class CdcPipeline:
                 batch_id=batch_id,
                 key_cols=self.key_cols,
                 invalid_cond=bad,
+                mode=self.merge_mode,
             )
         except Exception as e:
             if not fired.is_set():

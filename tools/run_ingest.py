@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=None,
                     help="compact the table after every N microbatches")
     ap.add_argument("--max-errors", type=int, default=0)
+    ap.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
+                    help="cow rewrites touched buckets per batch; mor "
+                         "appends batch-sized delta files and merges at "
+                         "read time (fold with --compact-every)")
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--with-tool", action="store_true", default=True)
@@ -67,7 +71,8 @@ def main() -> None:
     else:
         cl = spark.read.parquet(args.changelog)
         pipe = CdcPipeline(
-            spark, args.table, bucket_count=args.buckets, max_errors=args.max_errors
+            spark, args.table, bucket_count=args.buckets,
+            max_errors=args.max_errors, merge_mode=args.merge_mode,
         )
         res = pipe.run(
             cl,
