@@ -198,7 +198,8 @@ def test_cow_reads_have_no_merge_window(spark, tmp_table_path):
     )
 
     cl = generate_changelog(spark, ChangelogSpec(n_events=300, n_convs=10, seed=3))
-    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4)  # cow default
+    # explicit cow: this module's autouse fixture flips the DEFAULT to mor
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4, merge_mode="cow")
     pipe.run(cl, batch_lsns=300)
     plan = pipe.table.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
