@@ -357,6 +357,42 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _driver_headline_lines() -> list[str]:
+    """THE one headline number: the newest driver-recorded BENCH_r{N}.json
+    (the authoritative per-round record). Local best-of-N legs below are
+    footnotes — they exist to compare protocols, not to headline."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not recs:
+        return []
+    latest = recs[-1]
+    try:
+        with open(latest, encoding="utf-8") as f:
+            rec = json.load(f)
+        cdc = rec.get("parsed", rec).get("cdc", {})
+        evps = cdc.get("events_per_sec_max")
+        events = cdc.get("events")
+        cpus = cdc.get("cpus_max")
+        if evps is None:
+            return []
+    except Exception:
+        return []
+    return [
+        f"**Headline (authoritative, driver record `{os.path.basename(latest)}`): "
+        f"{evps:,.0f} events/s** — {events:,} change-events merge-applied at "
+        f"local[{cpus}]. Every figure below is a LOCAL re-run of the same "
+        "protocol (best-of-N footnotes, scaling evidence); where they differ "
+        "from the driver record, the driver record wins.",
+        "",
+    ]
+
+
 def write_bench_md(legs: dict, eff: float, queries: dict,
                    substrate: dict | None = None,
                    xsubstrate: dict | None = None,
@@ -365,6 +401,9 @@ def write_bench_md(legs: dict, eff: float, queries: dict,
     lines = [
         "# BENCH — CDC merge-apply throughput & scaling",
         "",
+    ]
+    lines += _driver_headline_lines()
+    lines += [
         f"Changelog: {hi['events']:,} events in {N_BATCHES} LSN-windowed "
         "microbatches — skewed (30% of events on 1% of conversations), I/U/D "
         "with duplicates and out-of-order timestamps, mid-stream `tool` "

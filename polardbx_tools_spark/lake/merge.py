@@ -257,6 +257,15 @@ def merge_into(
 
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r}")
+    if mode == "mor" and list(snap.key_cols or []) != list(key_cols):
+        # the read-side merge dedups by the manifest's key_cols; a table
+        # created without the full key would silently collapse rows that
+        # differ in the missing key columns — fail loudly instead
+        raise ValueError(
+            f"mor merge needs the table manifest to carry the full row key "
+            f"{list(key_cols)} (found {snap.key_cols}); create the table "
+            f"with LakeTable.create(..., key_cols=...)"
+        )
     src = _align_source_payload(batch, schema).select(
         *[F.col(c) for c in payload_cols],
         F.col(TS_COL).alias(SEQ_TS),

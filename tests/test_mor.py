@@ -73,6 +73,13 @@ def test_mor_pre_evolution_rows_read_as_null(spark, tmp_table_path):
     _evo.test_pre_evolution_rows_read_as_null(spark, tmp_table_path)
 
 
+@pytest.mark.slow
+def test_mor_property_engine_equals_oracle(spark, tmp_path_factory):
+    import test_property as _prop
+
+    _prop.test_engine_equals_oracle_for_any_changelog(spark, tmp_path_factory)
+
+
 def test_mor_rollback_then_replay_converges(spark, tmp_table_path):
     _inc.test_rollback_then_replay_converges(spark, tmp_table_path)
 
