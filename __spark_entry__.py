@@ -714,6 +714,38 @@ def _q_dedup_simhash(spark, sf):
     )
 
 
+def _q_corpus_sample_stratified(spark, sf):
+    """Deterministic stratified sampling for corpus curation: per-language
+    keep rates (en 50%, unk 20%, other 100%) decided by an engine-neutral
+    multiplicative hash of doc_id — reproducible across engines/runs and
+    at any scale (pure per-row predicate: no shuffle, full pushdown)."""
+    d = _t(spark, sf, "documents")
+    h = F.pmod((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296), F.lit(100))
+    lang = text.lang_id(F.col("text"))
+    rate = (
+        F.when(lang == "en", F.lit(50))
+        .when(lang == "unk", F.lit(20))
+        .otherwise(F.lit(100))
+    )
+    return (
+        d.select("doc_id", lang.alias("pred_lang"), h.alias("h"), rate.alias("rate"))
+        .filter(F.col("h") < F.col("rate"))
+        .select("doc_id", "pred_lang")
+    )
+
+
+def _q_dedup_keep_canonical(spark, sf):
+    """End of the dedup funnel: the KEPT corpus — every doc that is not a
+    near-duplicate of a lower-id doc (minhash-LSH pairs → connected
+    components → keep cluster_id == doc_id; docs in no cluster survive).
+    Oracle: anti-join against the union-find golden clusters."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
+    clusters = dedup.duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
+
+
 def _q_ann_cosine_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
@@ -812,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "corpus_sample_stratified": _q_corpus_sample_stratified,
         "corpus_curation": _q_corpus_curation,
         "dedup_exact": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
@@ -1168,6 +1202,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": """
             SELECT doc_id, cluster_id
             FROM read_parquet('/root/repo/tests/golden/dedup_clusters.sf0.01.parquet')
+        """,
+        "dedup_keep_canonical": """
+            SELECT d.doc_id
+            FROM documents d
+            LEFT JOIN read_parquet('/root/repo/tests/golden/dedup_clusters.sf0.01.parquet') c
+              ON d.doc_id = c.doc_id AND c.cluster_id <> c.doc_id
+            WHERE c.doc_id IS NULL
+        """,
+        "corpus_sample_stratified": f"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE
+                  WHEN length(text) > 0 AND
+                       length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0 / length(text) < 0.8
+                  THEN 'other'
+                  WHEN len({_TOKS_L}) > 0 AND
+                       len(list_filter({_TOKS_L}, x -> x IN {_STOP_IN})) * 1.0 /
+                       len({_TOKS_L}) >= 0.08
+                  THEN 'en'
+                  ELSE 'unk' END AS pred_lang,
+                (doc_id * 2654435761) % 4294967296 % 100 AS h
+              FROM documents)
+            SELECT doc_id, pred_lang FROM t
+            WHERE h < CASE pred_lang WHEN 'en' THEN 50 WHEN 'unk' THEN 20 ELSE 100 END
         """,
         "corpus_curation": f"""
             WITH t AS (

@@ -424,7 +424,7 @@ def write_bench_md(legs: dict, eff: float, queries: dict,
             xhi["executors"] / xlo["executors"]
         )
         lines += [
-            "### Executor-model scaling (headline, north rule N→4N)",
+            "### Executor-model scaling (north rule N→4N)",
             "",
             "`local-cluster[E,1,mem]` runs E SEPARATE single-core executor "
             "JVMs — own heap, own GC, own memory arena — the sandbox's "

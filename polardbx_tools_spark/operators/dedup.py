@@ -145,27 +145,40 @@ def jaccard_pairs(
     )
     if strategy == "generic":
         return _jaccard_pairs_generic(base, threshold)
+    if strategy not in ("bitmask", "auto"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     vocab_rows = _vocab_probe_df(base, probe_rows, max_bitmask_vocab).collect()
     vocab = sorted(r["tok"] for r in vocab_rows)[:max_bitmask_vocab]
-    if strategy == "bitmask":
-        return _jaccard_pairs_bitmask(base, vocab, threshold)
-    if strategy != "auto":
-        raise ValueError(f"unknown strategy {strategy!r}")
-    if len(vocab_rows) <= max_bitmask_vocab:
-        return _jaccard_pairs_bitmask(base, vocab, threshold)
-    return _jaccard_pairs_generic(base, threshold)
+    if strategy == "auto" and len(vocab_rows) > max_bitmask_vocab:
+        return _jaccard_pairs_generic(base, threshold)
+    # completeness check: ONE boolean map-side aggregate over the corpus
+    # (the pair join below scans it anyway). When the sampled vocabulary
+    # covers every token, the residual expression collapses to a literal
+    # empty array and Catalyst folds all residual work away — the pure
+    # integer-mask path.
+    tok_bit = _tok_bit_map(vocab)
+    has_unseen = base.agg(
+        F.max(F.exists("ws", lambda t: tok_bit[t].isNull())).alias("u")
+    ).collect()[0]["u"]
+    return _jaccard_pairs_bitmask(base, vocab, threshold,
+                                  exact_vocab=not has_unseen)
 
 
-def _jaccard_pairs_bitmask(
-    base: DataFrame, vocab: list[str], threshold: float
-) -> DataFrame:
-    tok_bit = F.create_map(
+def _tok_bit_map(vocab: list[str]) -> Column:
+    return F.create_map(
         *[
             x
             for i, t in enumerate(vocab)
             for x in (F.lit(t), F.lit(1 << i).cast("long"))
         ]
     )
+
+
+def _jaccard_pairs_bitmask(
+    base: DataFrame, vocab: list[str], threshold: float,
+    exact_vocab: bool = False,
+) -> DataFrame:
+    tok_bit = _tok_bit_map(vocab)
     # unseen tokens do NOT fold into the mask (coalesce keeps it exact
     # over the in-vocab part); they form a sorted residual set so the
     # jaccard below stays exact whatever the sampled vocab missed
@@ -174,7 +187,13 @@ def _jaccard_pairs_bitmask(
         F.lit(0).cast("long"),
         lambda acc, t: acc.bitwiseOR(F.coalesce(tok_bit[t], F.lit(0).cast("long"))),
     )
-    resid = F.array_sort(F.filter(F.col("ws"), lambda t: tok_bit[t].isNull()))
+    if exact_vocab:
+        # caller PROVED no token falls outside vocab: the residual is a
+        # constant empty array, so every residual intersect/union/compare
+        # below constant-folds away — pure integer-mask arithmetic
+        resid = F.array([]).cast("array<string>")
+    else:
+        resid = F.array_sort(F.filter(F.col("ws"), lambda t: tok_bit[t].isNull()))
     # group identical (mask, residual) sets: the pair join runs over
     # DISTINCT sets only; ids expand back at the end
     groups = (

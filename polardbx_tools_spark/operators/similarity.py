@@ -89,6 +89,17 @@ def brute_force_topk(
     )
 
 
+def _widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count IFF the scan has fewer
+    splits: a small parquet arrives as one split and a compute-heavy
+    per-row stage (sign masks, numpy batches) then serializes on one
+    core. At real scale splits >> cores and this adds NO exchange."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def brute_force_topk_np(
     corpus: DataFrame,
     queries: DataFrame,
@@ -146,7 +157,7 @@ def brute_force_topk_np(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    partial = _widen_scan(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -529,9 +540,7 @@ def _banded_by_mask(
     scale the scan has splits >> cores and this is a no-op (no exchange
     added), so the corpus never pays a shuffle for it."""
     if widen:
-        cores = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < cores:
-            df = df.repartition(cores)
+        df = _widen_scan(df)
     n_bits = n_planes * n_tables
     masked = df.select(
         F.col(id_col).alias(id_alias),

@@ -35,11 +35,16 @@ def start_cdc_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     fmt: str = "parquet",
+    merge_mode: str | None = None,
 ) -> StreamingQuery:
     """Tail a changelog directory and MERGE each microbatch into the lake
     table. ``available_now=True`` drains what exists and stops (the test/
-    replay mode); ``False`` keeps tailing (the production mode)."""
-    pipe = CdcPipeline(spark, table_path, bucket_count=bucket_count)
+    replay mode); ``False`` keeps tailing (the production mode).
+    ``merge_mode="mor"`` appends batch-sized delta files per microbatch —
+    the natural mode for a high-frequency tail (pair with periodic
+    ``maintenance.compact``); default copy-on-write."""
+    pipe = CdcPipeline(spark, table_path, bucket_count=bucket_count,
+                       merge_mode=merge_mode)
     pipe.ensure_table(with_tool="tool" in schema.fieldNames())
 
     reader = spark.readStream.schema(schema).format(fmt)

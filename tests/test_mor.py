@@ -196,6 +196,24 @@ def test_mor_deltas_tracked_and_cleared(spark, tmp_table_path):
     assert pipe.read_transcripts().count() == n
 
 
+def test_mor_read_uses_window_group_limit(spark, tmp_table_path):
+    """The read-side merge must plan as row_number + WindowGroupLimit:
+    Spark's rank-limit pushdown keeps only the top-1 row per key BEFORE
+    the exchange (a map-side reduction like partial aggregation), so the
+    merge shuffle carries ~one row per key per side, not every delta."""
+    from polardbx_tools_spark.changelog.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    cl = generate_changelog(spark, ChangelogSpec(n_events=300, n_convs=10, seed=3))
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4, merge_mode="mor")
+    pipe.run(cl, batch_lsns=100)
+    plan = pipe.table.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
 def test_cow_reads_have_no_merge_window(spark, tmp_table_path):
     """A pure-COW snapshot must read as a plain pruned scan — the MOR
     merge window only appears when delta files exist."""
