@@ -696,6 +696,22 @@ def _q_dedup_jaccard_pairs(spark, sf):
     )
 
 
+def _q_dedup_ngram_jaccard(spark, sf):
+    """EXACT character-3-gram Jaccard near-dup pairs (char-level twin of
+    the word-set jaccard — robust to word reordering / whitespace edits);
+    oracle is the equivalent all-pairs SQL with the size-ratio prune.
+
+    Bounded to a deterministic 200-doc slice: char-3-gram sets are ~300
+    elements and near-uniform doc lengths defeat the size-ratio prune,
+    so the EXACT primitive is quadratic-in-corpus by nature — it is the
+    verification tool; minhash over char shingles is the scale path
+    (same contract as the word-set jaccard vs minhash split)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.5, n=3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _q_dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup pairs. Oracle: golden parquet from an
     independent pure-Python reimplementation (tools/make_golden.py) —
@@ -850,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1289,6 +1306,24 @@ def oracle_sql() -> dict[str, str]:
               ON a.id < b.id AND 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n
             WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
                   len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+        """,
+        "dedup_ngram_jaccard": """
+            WITH base AS (
+              SELECT doc_id AS id,
+                     CASE WHEN length(lower(text)) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, length(lower(text)) - 2),
+                         i -> substr(lower(text), i, 3)))
+                     ELSE [lower(text)] END AS ws
+              FROM documents WHERE doc_id < 200),
+            sized AS (SELECT id, ws, len(ws) AS n FROM base)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.ws, b.ws)) * 1.0 /
+                         len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+            FROM sized a JOIN sized b
+              ON a.id < b.id AND 2 * a.n >= b.n AND 2 * b.n >= a.n
+            WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
+                  len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
         """,
         # golden oracles: DuckDB cannot evaluate Spark's xxhash64, so the
         # expected outputs are produced by an INDEPENDENT pure-Python

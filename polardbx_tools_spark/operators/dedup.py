@@ -299,6 +299,41 @@ def _jaccard_pairs_generic(base: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text (empty-safe:
+    texts shorter than n yield the whole text as one gram). The
+    set representation for character-level Jaccard — robust to word
+    reorderings and whitespace edits that word sets miss."""
+    t = F.lower(col)
+    ln = F.length(t)
+    return F.when(
+        ln >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ln - F.lit(n - 1)),
+                lambda i: F.substring(t, i, n),
+            )
+        ),
+    ).otherwise(F.array(t))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs character-n-gram Jaccard (the char-level twin of
+    :func:`jaccard_pairs`): every (id_a < id_b) pair whose distinct
+    n-gram sets overlap >= threshold. Same size-ratio equi-join pruning
+    — no nested loop; big vocab by nature, so always the generic path."""
+    base = df.select(
+        F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("ws")
+    )
+    return _jaccard_pairs_generic(base, threshold)
+
+
 # ----------------------------------------------------------- minhash+lsh
 
 def shingles(col: Column, k: int = 3) -> Column:

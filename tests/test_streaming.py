@@ -48,6 +48,40 @@ def test_stream_drain_equals_batch_replay(spark, tmp_path):
     pdt.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_stream_drain_mor_mode_equals_oracle(spark, tmp_path):
+    """The streaming tail in merge-on-read mode (the natural mode for a
+    high-frequency tail: batch-sized delta appends per microbatch) must
+    drain to the same final state as the sequential oracle, leaving
+    delta files behind for compaction."""
+    cl = generate_changelog(spark, SPEC)
+    src = str(tmp_path / "incoming")
+    cl.write.parquet(src + "/seg")
+    import glob, os, shutil
+    os.makedirs(src + "/flat")
+    for i, f in enumerate(sorted(glob.glob(src + "/seg/**/*.parquet", recursive=True))):
+        shutil.copy(f, f"{src}/flat/part-{i:04d}.parquet")
+
+    table = str(tmp_path / "t")
+    q = start_cdc_stream(
+        spark,
+        src + "/flat",
+        changelog_schema(with_tool=True),
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bucket_count=8,
+        available_now=True,
+        max_files_per_trigger=2,  # several microbatches -> several deltas
+        merge_mode="mor",
+    )
+    q.awaitTermination(120)
+
+    pipe = CdcPipeline(spark, table, bucket_count=8, merge_mode="mor")
+    assert pipe.table.snapshot().deltas, "MOR tail must append delta files"
+    got = normalize(pipe.read_transcripts().toPandas(), PAYLOAD)
+    want = normalize(replay_oracle(cl.toPandas(), PAYLOAD), PAYLOAD)
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_stream_restart_with_new_files(spark, tmp_path):
     """Drain, stop, land a new segment, restart with same checkpoint —
     only the new file is processed; state converges to full replay."""
