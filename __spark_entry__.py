@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from polardbx_tools_spark.operators import dedup, masking, similarity, text
+from polardbx_tools_spark.operators import (
+    dedup, masking, similarity, temporal, text,
+)
 from polardbx_tools_spark import report as rpt
 
 
@@ -604,6 +606,31 @@ def _q_cumulative_events(spark, sf):
     )
 
 
+def _q_asof_enrich(spark, sf):
+    """As-of temporal join: each event gains the most recent
+    prior-or-equal 'purchase' value for the same user (state-current-
+    at-ts lookup; operators/temporal.py union+carry plan — one shuffle,
+    no range-join pair explosion). Oracle: DuckDB native ASOF LEFT JOIN.
+    The purchase stream is pre-aggregated to one row per (user, ts) so
+    tie behavior is deterministic on both sides."""
+    ev = _t(spark, sf, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    out = temporal.asof_join(
+        ev, quotes, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
 # ------------------------------------------------- text / training-data
 
 def _q_text_token_count(spark, sf):
@@ -722,6 +749,29 @@ def _q_dedup_minhash_lsh(spark, sf):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_text_tfidf_top_terms(spark, sf):
+    """Per-doc top-5 TF-IDF keywords (text analysis / doc indexing).
+    Rank compares the rounded score, so cross-engine ln() ulp noise
+    cannot flip the ordering; ties break on the term."""
+    d = _t(spark, sf, "documents")
+    return text.tf_idf_top_terms(d, k=5)
+
+
+def _q_dedup_incremental(spark, sf):
+    """Incremental (new-batch vs existing-corpus) MinHash-LSH dedup —
+    the CDC-shaped curation op: does the incoming tail duplicate the
+    lake? New = last 20% of doc_ids, corpus = first 80%. Oracle: golden
+    parquet from the independent pure-Python banding over the same
+    split (tools/make_golden.py incremental_golden)."""
+    d = _t(spark, sf, "documents")
+    split = int(d.count() * 0.8)
+    return dedup.incremental_minhash_pairs(
+        d.filter(F.col("doc_id") >= split),
+        d.filter(F.col("doc_id") < split),
+        num_hashes=32, bands=8, verify_threshold=0.4,
+    ).select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs. Oracle: golden parquet (see above)."""
     d = _t(spark, sf, "documents")
@@ -832,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_percentiles": _q_rt_percentiles,
         "moving_avg": _q_moving_avg,
         "cumulative_events": _q_cumulative_events,
+        "asof_enrich": _q_asof_enrich,
         "fingerprint_report": _q_fingerprint_report,
         "rt_histogram": _q_rt_histogram,
         "summary_report": _q_summary_report,
@@ -857,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _q_topk_orders,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
+        "text_tfidf_top_terms": _q_text_tfidf_top_terms,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
@@ -868,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -990,6 +1043,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING), 4) AS cum_value
             FROM events
+        """,
+        "asof_enrich": """
+            WITH quotes AS (
+              SELECT user_id, ts, max(value) AS last_purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, e.event_type,
+                   round(q.last_purchase_value, 6) AS last_purchase_value
+            FROM events e ASOF LEFT JOIN quotes q
+              ON e.user_id = q.user_id AND e.ts >= q.ts
         """,
         "fingerprint_report": """
             SELECT md5(event_type || '|' || regexp_replace(props, '[0-9]+', '?', 'g')) AS fingerprint,
@@ -1158,6 +1220,22 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
                   FROM orders)
             WHERE rank <= 20
+        """,
+        "text_tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_L}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df_t), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, term, rank, tfidf FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, term) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         "text_token_count": f"""
             SELECT doc_id,
@@ -1333,6 +1411,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": """
             SELECT id_a, id_b, jaccard
             FROM read_parquet('/root/repo/tests/golden/dedup_minhash_lsh.sf0.01.parquet')
+        """,
+        "dedup_incremental": """
+            SELECT new_id, corpus_id, jaccard
+            FROM read_parquet('/root/repo/tests/golden/dedup_incremental.sf0.01.parquet')
         """,
         "dedup_simhash": """
             SELECT id_a, id_b, hamming

@@ -385,41 +385,28 @@ def minhash_signature(col: Column, num_hashes: int = 32, seed: int = 42, k: int 
     return minhash_signature_from_hashes(shingle_hashes(col, k), num_hashes, seed)
 
 
-def minhash_lsh_pairs(
+def _hashed_and_banded(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-    k_shingle: int = 3,
-    verify_threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: signature → band buckets →
-    within-bucket join → exact shingle-Jaccard verification.
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    k_shingle: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(hashed-shingle sets, band buckets) for one corpus side.
 
-    Two docs collide if any band of ``rows = num_hashes/bands`` hash
-    values matches exactly. Candidates are then verified with true
-    Jaccard over shingle sets, so the output has no LSH false positives
-    (recall, not precision, is probabilistic — standard LSH contract).
-
-    Cache lifecycle: the hashed-shingle and banded relations are
-    persisted (MEMORY_AND_DISK, disk-spillable) because the plan is a
-    diamond — they are scanned by both self-join sides and the verify
-    joins. They are NOT unpersisted here: the result DataFrame is lazy
-    and still references them. Callers running many operators in one
-    long session should ``spark.catalog.clearCache()`` after consuming
-    the result (both relations are derived; rebuilding costs one scan).
-    """
-    rows = num_hashes // bands
-    # band-join on IDS ONLY: the full shingle sets must not ride the
-    # bands-x explode through the shuffle (that inflates the dominant
-    # shuffle by the band count). Candidates are deduped as bare
-    # (id_a, id_b) pairs first; the hashed shingle sets are joined back
-    # exactly once for verification. Costs one extra scan of the corpus —
-    # scans are cheap, shuffled bytes are not.
+    Band-joins run on IDS ONLY: the full shingle sets must not ride the
+    bands-x explode through the shuffle (that inflates the dominant
+    shuffle by the band count); the hashed sets join back exactly once
+    at verification. Both relations are persisted (MEMORY_AND_DISK,
+    disk-spillable) because every caller's plan is a diamond — band
+    self-/cross-join sides plus the verify joins all scan them. banded
+    is (id, band, bucket) ~24 B per doc per band; hs is ~8 B/shingle —
+    tiny relative to the corpus text."""
     from pyspark.storagelevel import StorageLevel
 
+    rows = num_hashes // bands
     hs_df = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), k_shingle).alias("hs"),
@@ -447,13 +434,38 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return hs_df, banded.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # the self-join (and the verify joins over hs_df) form diamond DAGs:
-    # persist the small derived relations so the signature pipeline runs
-    # once, not once per join side. banded is (id, band, bucket) — ~24 B
-    # per doc per band; hs_df is the hashed shingle sets (~8 B/shingle) —
-    # both disk-spillable and tiny relative to the corpus text.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    k_shingle: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: signature → band buckets →
+    within-bucket join → exact shingle-Jaccard verification.
+
+    Two docs collide if any band of ``rows = num_hashes/bands`` hash
+    values matches exactly. Candidates are then verified with true
+    Jaccard over shingle sets, so the output has no LSH false positives
+    (recall, not precision, is probabilistic — standard LSH contract).
+
+    Cache lifecycle: the hashed-shingle and banded relations are
+    persisted (MEMORY_AND_DISK, disk-spillable) because the plan is a
+    diamond — they are scanned by both self-join sides and the verify
+    joins. They are NOT unpersisted here: the result DataFrame is lazy
+    and still references them. Callers running many operators in one
+    long session should ``spark.catalog.clearCache()`` after consuming
+    the result (both relations are derived; rebuilding costs one scan).
+    """
+    hs_df, banded = _hashed_and_banded(
+        df, text_col, id_col, num_hashes, bands, seed, k_shingle
+    )
 
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -473,6 +485,68 @@ def minhash_lsh_pairs(
         .join(hs_df.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), on="id_a")
         .join(hs_df.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), on="id_b")
         .select("id_a", "id_b", (inter / union).cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    k_shingle: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH: near-dup pairs between a NEW batch and
+    an EXISTING corpus — "does the incoming tail duplicate the lake?" —
+    without the corpus×corpus self-join the batch operator would pay.
+
+    Candidates are (new, corpus) band-bucket collisions joined on ids
+    only; the hashed shingle sets join back once for exact Jaccard
+    verification (no LSH false positives; recall is the probabilistic
+    part, standard LSH contract). Cost scales with |new| × collision
+    rate, not |corpus|²: the corpus side contributes one scan to build
+    its band relation — which at production scale is the precomputed
+    dedup INDEX maintained incrementally by the ingest pipeline (append
+    each accepted batch's (id, band, bucket) rows), so steady-state cost
+    is |new| × bands shuffled rows against a bucketed index lookup.
+
+    Same cache lifecycle as :func:`minhash_lsh_pairs` (both sides'
+    derived relations persist; ``spark.catalog.clearCache()`` after
+    consuming in long sessions).
+
+    Returns (new_id, corpus_id, jaccard).
+    """
+    hs_new, banded_new = _hashed_and_banded(
+        new_df, text_col, id_col, num_hashes, bands, seed, k_shingle
+    )
+    hs_old, banded_old = _hashed_and_banded(
+        corpus_df, text_col, id_col, num_hashes, bands, seed, k_shingle
+    )
+    candidates = (
+        banded_new.select(F.col("id").alias("new_id"), "band", "bucket")
+        .join(
+            banded_old.select(F.col("id").alias("corpus_id"), "band", "bucket"),
+            on=["band", "bucket"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("hs_n"), F.col("hs_c")))
+    union = F.size(F.array_union(F.col("hs_n"), F.col("hs_c")))
+    return (
+        candidates
+        .join(hs_new.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_n")),
+              on="new_id")
+        .join(hs_old.select(F.col("id").alias("corpus_id"), F.col("hs").alias("hs_c")),
+              on="corpus_id")
+        .select(
+            "new_id", "corpus_id",
+            (inter / union).cast("double").alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= verify_threshold)
     )
 

@@ -1,0 +1,84 @@
+"""Temporal join operators: as-of (nearest-prior) enrichment.
+
+Spark has no ASOF JOIN; the naive emulation — equi-join on key with a
+``l.ts >= r.ts`` range filter, then a row_number to keep the latest —
+materializes every (event, prior-quote) pair before pruning, which is
+quadratic per key and explodes on hot keys. The scalable form is the
+union + last-value window: tag both sides, union on (key, ts), and carry
+the right side's payload forward with ``last(ignorenulls)`` over rows
+unbounded-preceding..current. One shuffle on the key, linear state, no
+pair blow-up — the same plan shape Flink uses for temporal joins.
+
+Reference analog: the replay tooling joins each replayed statement to the
+connection/session state current *at that statement's timestamp* (frodo
+event-time replay, ``JSConsumerThreadV2.java:146-162`` pacing over the
+capture timeline); as-of is that "state current at ts" lookup as a
+relational operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Left as-of join: each left row gains the ``value_cols`` of the
+    latest right row with ``right.ts <= left.ts`` (``<`` when
+    ``allow_exact_matches=False``) for the same ``on`` keys; NULL when no
+    prior right row exists.
+
+    The right side must be unique per (*on*, ts) — pre-aggregate ties
+    (e.g. ``groupBy(keys, ts).agg(max(...))``) or the carried value is
+    order-dependent. Matches DuckDB/pandas ``ASOF JOIN`` semantics
+    (direction="backward").
+
+    Scale: one shuffle of left+right on ``on``; window state is a single
+    row of carried values per partition scan position. No range-join
+    pair explosion on hot keys.
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in set(on) | {right_ts}
+        ]
+    # _side orders right rows before (exact-match) or after (strict) left
+    # rows at equal ts, so the carry window includes/excludes ties.
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0 if allow_exact_matches else 2).alias("_side"),
+        *[F.col(c) for c in value_cols],
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l, allowMissingColumns=True).select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") != 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_carry_{c}")
+            for c in value_cols
+        ],
+    )
+    keep = [c for c in left.columns] + [
+        F.col(f"_carry_{c}").alias(c) for c in value_cols
+    ]
+    return carried.filter(F.col("_side") == 1).select(*keep)

@@ -119,3 +119,50 @@ def sql_template_id(col: Column) -> Column:
     t = F.regexp_replace(t, r"\b[0-9]+(\.[0-9]+)?\b", "?")
     t = F.regexp_replace(F.trim(t), r"\s+", " ")
     return F.md5(t)
+
+
+def tf_idf_top_terms(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> "DataFrame":
+    """Top-k TF-IDF terms per document (corpus keyword extraction).
+
+    score = tf(term, doc) * ln(N / df(term)); ties broken by term so the
+    ranking is deterministic. Distributed shape: one (doc, term) partial
+    agg, one term-level doc-frequency agg joined back (term key), the
+    corpus size as a broadcast single-row relation (never a driver
+    collect), then a per-doc top-k window. Ordering compares the
+    ROUNDED score so rank is reproducible across engines (raw ln()
+    differs in the last ulp between libm implementations).
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401  (doc type only)
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "tfidf")
+    )

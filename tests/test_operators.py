@@ -245,3 +245,39 @@ def test_numpy_topk_matches_expression_topk(spark):
         for r in similarity.brute_force_topk_np(df, q, k=4).collect()
     }
     assert expr_res == np_res
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left ts per
+    key; strict mode excludes the equal-ts row; keys with no prior right
+    row carry NULL."""
+    from polardbx_tools_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 20), ("b", 7), ("c", 3)],
+        "k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 100.0), ("a", 10, 200.0), ("a", 15, 300.0), ("b", 9, 9.0)],
+        "k string, ts long, v double",
+    )
+    got = {
+        (r["k"], r["ts"]): r["v"]
+        for r in temporal.asof_join(left, right, on=["k"], value_cols=["v"]).collect()
+    }
+    assert got == {
+        ("a", 5): 100.0,      # only ts=1 is prior
+        ("a", 10): 200.0,     # exact match included
+        ("a", 20): 300.0,     # latest prior (15)
+        ("b", 7): None,       # right row is later (9 > 7)
+        ("c", 3): None,       # key absent from right
+    }
+
+    strict = {
+        (r["k"], r["ts"]): r["v"]
+        for r in temporal.asof_join(
+            left, right, on=["k"], value_cols=["v"], allow_exact_matches=False
+        ).collect()
+    }
+    assert strict[("a", 10)] == 100.0  # equal-ts row excluded
+    assert strict[("a", 20)] == 300.0

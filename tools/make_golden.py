@@ -93,6 +93,47 @@ def minhash_lsh_golden(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def incremental_golden(docs: pd.DataFrame, split_frac: float = 0.8) -> pd.DataFrame:
+    """Cross-corpus (new batch vs existing corpus) minhash-LSH pairs:
+    corpus = doc_id < split, new = doc_id >= split (split at
+    ``split_frac`` of the doc count — ids are contiguous from 0).
+    Independent union of the same published algorithm: band-bucket
+    collisions BETWEEN the two sides, verified with exact Jaccard."""
+    split = int(len(docs) * split_frac)
+    rows_per_band = NUM_HASHES // BANDS
+    sigs: dict[int, tuple[int, ...]] = {}
+    sets: dict[int, frozenset[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        base = [xxh64_signed(s, 42) for s in shingles(text)]
+        sets[doc_id] = frozenset(base)
+        sigs[doc_id] = tuple(
+            min(sig_hash(h, j) for h in base) for j in range(NUM_HASHES)
+        )
+
+    candidates: set[tuple[int, int]] = set()
+    for b in range(BANDS):
+        buckets: dict[tuple[int, ...], tuple[list[int], list[int]]] = {}
+        for doc_id, sig in sigs.items():
+            key = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            side = buckets.setdefault(key, ([], []))
+            side[0 if doc_id < split else 1].append(doc_id)
+        for old_ids, new_ids in buckets.values():
+            for n in new_ids:
+                for o in old_ids:
+                    candidates.add((n, o))
+
+    out = []
+    for n, o in sorted(candidates):
+        inter = len(sets[n] & sets[o])
+        union = len(sets[n] | sets[o])
+        jac = inter / union if union else 0.0
+        if jac >= VERIFY_THRESHOLD:
+            out.append((n, o, round(jac, 6)))
+    return pd.DataFrame(out, columns=["new_id", "corpus_id", "jaccard"]).astype(
+        {"new_id": "int64", "corpus_id": "int64", "jaccard": "float64"}
+    )
+
+
 def clusters_golden(docs: pd.DataFrame) -> pd.DataFrame:
     """Duplicate clusters = connected components (min reachable id) over
     the minhash-LSH pair graph, via plain union-find — an independent
@@ -158,14 +199,17 @@ def main() -> None:
         mh = minhash_lsh_golden(docs)
         sim = simhash_golden(docs)
         cl = clusters_golden(docs)
+        inc = incremental_golden(docs)
         mh.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_minhash_lsh.sf{sf}.parquet"),
                       index=False)
         sim.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_simhash.sf{sf}.parquet"),
                        index=False)
         cl.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_clusters.sf{sf}.parquet"),
                       index=False)
+        inc.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_incremental.sf{sf}.parquet"),
+                       index=False)
         print(f"sf{sf}: minhash_lsh={len(mh)} pairs, simhash={len(sim)} pairs, "
-              f"clusters={len(cl)} docs")
+              f"clusters={len(cl)} docs, incremental={len(inc)} pairs")
 
 
 if __name__ == "__main__":
