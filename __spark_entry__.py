@@ -840,6 +840,23 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
+def _q_ann_pq_topk(spark, sf):
+    """Product-quantization ANN (4th strategy: brute/LSH/IVF/PQ): the
+    corpus is encoded once into m=8 codes, ADC-scored against the
+    codes, and the top-40 shortlist re-ranked with exact cosine. Oracle
+    replays the deterministic seeded per-subspace k-means fit and embeds
+    the identical codebooks as literals."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = similarity.pq_topk(e, q, dim=64, k=5, m=8, ks=16, refine=40)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cos_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_ann_ivf_topk(spark, sf):
     """IVF (coarse-quantizer cell probing) ANN — the third ANN strategy
     beside brute-force and LSH. Centroids are FITTED by a deterministic
@@ -925,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
     }
 
@@ -1454,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        "ann_pq_topk": _ann_pq_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
     }
 
@@ -1512,6 +1531,87 @@ def _ann_ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
         SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def _ann_pq_oracle_sql(dim: int = 64, k: int = 5, m: int = 8, ks: int = 16,
+                       refine: int = 40, sample_rows: int = 1024,
+                       seed: int = 42, n_iters: int = 10) -> str:
+    """DuckDB oracle for the PQ ANN: re-run the SAME deterministic
+    seeded per-subspace k-means fit over the SAME bounded sample (lowest
+    vec_ids of the gate's sf0.01 embeddings) and embed the codebooks as
+    literals; encoding (index-ordered (x-c)^2 fold, first-min
+    tie-break), ADC shortlist, and exact-cosine re-rank then replay in
+    SQL with the identical expression shapes."""
+    import pandas as _pd
+
+    from polardbx_tools_spark.operators.similarity import fit_pq_codebooks
+
+    emb = (
+        _pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .head(sample_rows)
+    )
+    books = fit_pq_codebooks(
+        [list(v) for v in emb["embedding"]], m, ks, seed, n_iters
+    )
+    dsub = dim // m
+
+    def arr(vals) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+    code_cols, adc_terms, an2_terms = [], [], []
+    for j in range(m):
+        a, b = j * dsub + 1, (j + 1) * dsub
+        cbj = "[" + ", ".join(arr(c) for c in books[j]) + "]"
+        cn2j = arr([sum(float(x) * float(x) for x in c) for c in books[j]])
+        scores = (
+            f"list_transform(generate_series(1, {ks}), c -> "
+            f"list_sum(list_transform(list_zip(embedding[{a}:{b}], {cbj}[c]), "
+            f"x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))))"
+        )
+        code_cols.append(
+            f"list_position(sc{j}, list_min(sc{j})) AS code{j}"
+        )
+        # per-j ADC dot + approx-norm term, selected by the row's code
+        adc_terms.append(
+            f"list_sum(list_transform(list_zip(p.q_vec[{a}:{b}], {cbj}[c.code{j}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        an2_terms.append(f"{cn2j}[c.code{j}]")
+        code_cols[-1] = (scores, code_cols[-1])
+
+    sc_defs = ", ".join(s + f" AS sc{j}" for j, (s, _) in enumerate(code_cols))
+    code_defs = ", ".join(c for _, c in code_cols)
+    adc = "(" + " + ".join(adc_terms) + ")"
+    an2 = "(" + " + ".join(an2_terms) + ")"
+    qnorm = ("sqrt(list_sum(list_transform(p.q_vec, "
+             "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+    cos = _COS_SQL.format(a="p2.q_vec", b="e2.embedding")
+    return f"""
+        WITH sc AS (SELECT vec_id, embedding, {sc_defs} FROM embeddings),
+        codes AS (SELECT vec_id, embedding, {code_defs} FROM sc),
+        q AS (SELECT vec_id AS query_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 8),
+        adc AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+                 {adc} / ({qnorm} * sqrt({an2})) AS adc
+          FROM codes c CROSS JOIN q p WHERE c.vec_id <> p.query_id),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, neighbor_id) AS srank FROM adc)
+          WHERE srank <= {refine}),
+        rescored AS (
+          SELECT s.query_id, s.neighbor_id, {cos} AS cosine
+          FROM short s
+          JOIN embeddings e2 ON e2.vec_id = s.neighbor_id
+          JOIN q p2 ON p2.query_id = s.query_id)
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM rescored)
         WHERE rank <= {k}
     """
 

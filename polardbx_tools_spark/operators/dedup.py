@@ -551,6 +551,101 @@ def incremental_minhash_pairs(
     )
 
 
+class MinHashLshIndex:
+    """Persistent MinHash-LSH dedup index — the steady-state form of
+    :func:`incremental_minhash_pairs` for an ingest pipeline.
+
+    Instead of re-hashing the whole corpus every batch, the corpus
+    side's derived relations are MAINTAINED on disk as two parquet
+    relations under ``path``:
+
+    * ``hs/``      — (id, hs)            hashed shingle sets (verify side)
+    * ``banded/``  — (id, band, bucket)  LSH band buckets (candidate side)
+
+    ``append(batch)`` derives and appends the batch's rows (cost ∝
+    batch); ``pairs_against(new)`` finds (new_id, corpus_id, jaccard)
+    near-dups of an incoming batch against everything indexed so far
+    (cost ∝ |new| × bands + collision verification — the corpus
+    contributes a columnar scan of two narrow relations, never a
+    re-shingle of its text). The accept-then-append loop gives a tail
+    dedup whose per-batch cost is bounded by the batch, mirroring the
+    lake engine's MOR discipline (write cost ∝ batch, not table).
+
+    The relations are plain append-only parquet directories: at cluster
+    scale they would be bucketed by ``bucket``/``id`` for shuffle-free
+    lookup joins; correctness does not depend on layout.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        num_hashes: int = 32,
+        bands: int = 8,
+        seed: int = 42,
+        k_shingle: int = 3,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.seed = seed
+        self.k_shingle = k_shingle
+
+    def _derive(self, df, text_col, id_col):
+        return _hashed_and_banded(
+            df, text_col, id_col, self.num_hashes, self.bands,
+            self.seed, self.k_shingle,
+        )
+
+    def append(self, df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> None:
+        """Index a batch: derive + append its hs and banded rows."""
+        hs, banded = self._derive(df, text_col, id_col)
+        hs.write.mode("append").parquet(f"{self.path}/hs")
+        banded.write.mode("append").parquet(f"{self.path}/banded")
+        hs.unpersist()
+        banded.unpersist()
+
+    def pairs_against(
+        self,
+        new_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        verify_threshold: float = 0.5,
+    ) -> DataFrame:
+        """(new_id, corpus_id, jaccard) near-dups of ``new_df`` vs the
+        indexed corpus. Same candidates/verify discipline as
+        :func:`incremental_minhash_pairs`, with the corpus side read
+        from the index instead of recomputed."""
+        hs_new, banded_new = self._derive(new_df, text_col, id_col)
+        banded_old = self.spark.read.parquet(f"{self.path}/banded")
+        hs_old = self.spark.read.parquet(f"{self.path}/hs")
+        candidates = (
+            banded_new.select(F.col("id").alias("new_id"), "band", "bucket")
+            .join(
+                banded_old.select(F.col("id").alias("corpus_id"), "band", "bucket"),
+                on=["band", "bucket"],
+            )
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect(F.col("hs_n"), F.col("hs_c")))
+        union = F.size(F.array_union(F.col("hs_n"), F.col("hs_c")))
+        return (
+            candidates
+            .join(hs_new.select(F.col("id").alias("new_id"),
+                                F.col("hs").alias("hs_n")), on="new_id")
+            .join(hs_old.select(F.col("id").alias("corpus_id"),
+                                F.col("hs").alias("hs_c")), on="corpus_id")
+            .select(
+                "new_id", "corpus_id",
+                (inter / union).cast("double").alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= verify_threshold)
+        )
+
+
 # ----------------------------------------------------------------- simhash
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

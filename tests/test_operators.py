@@ -281,3 +281,26 @@ def test_asof_join_semantics(spark):
     }
     assert strict[("a", 10)] == 100.0  # equal-ts row excluded
     assert strict[("a", 20)] == 300.0
+
+
+def test_minhash_lsh_index_incremental_equals_batch(spark, tmp_path):
+    """The persistent LSH index, built by appending two corpus batches,
+    must answer a tail-dedup query identically to the one-shot
+    incremental operator over the full corpus — the index is just the
+    corpus side's derived relations materialized ahead of time."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus1, corpus2 = d.filter("doc_id < 20"), d.filter("doc_id >= 20 and doc_id < 40")
+    tail = d.filter("doc_id >= 40")
+
+    idx = dedup.MinHashLshIndex(spark, str(tmp_path / "lsh_idx"),
+                                num_hashes=32, bands=8)
+    idx.append(corpus1)
+    idx.append(corpus2)
+    got = {(r["new_id"], r["corpus_id"]): round(r["jaccard"], 6)
+           for r in idx.pairs_against(tail, verify_threshold=0.4).collect()}
+
+    want = {(r["new_id"], r["corpus_id"]): round(r["jaccard"], 6)
+            for r in dedup.incremental_minhash_pairs(
+                tail, d.filter("doc_id < 40"),
+                num_hashes=32, bands=8, verify_threshold=0.4).collect()}
+    assert got == want and len(want) > 0
