@@ -631,6 +631,34 @@ def _q_asof_enrich(spark, sf):
     )
 
 
+def _q_range_join_windows(spark, sf):
+    """Range (interval) join via time-binning: events falling inside
+    each purchase's 10-minute window per user, aggregated to a per-
+    window count. The bin equi-join (operators/temporal.py range_join)
+    replaces the nested-loop plan Spark uses for inequality joins;
+    timestamps ride as exact epoch-microsecond longs so the boundary
+    semantics (start <= ts < end) are engine-exact. Oracle: the plain
+    inequality join in DuckDB."""
+    ev = _t(spark, sf, "events")
+    left = ev.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "event_id"
+    )
+    win = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("w_start"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(600_000_000)).alias("w_end"),
+    )
+    j = temporal.range_join(
+        left, win, on=["user_id"], left_ts="ts_us",
+        right_start="w_start", right_end="w_end",
+        bin_width=600_000_000,
+    )
+    return j.groupBy("win_id", "user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+
+
 # ------------------------------------------------- text / training-data
 
 def _q_text_token_count(spark, sf):
@@ -900,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": _q_moving_avg,
         "cumulative_events": _q_cumulative_events,
         "asof_enrich": _q_asof_enrich,
+        "range_join_windows": _q_range_join_windows,
         "fingerprint_report": _q_fingerprint_report,
         "rt_histogram": _q_rt_histogram,
         "summary_report": _q_summary_report,
@@ -1070,6 +1099,17 @@ def oracle_sql() -> dict[str, str]:
                    round(q.last_purchase_value, 6) AS last_purchase_value
             FROM events e ASOF LEFT JOIN quotes q
               ON e.user_id = q.user_id AND e.ts >= q.ts
+        """,
+        "range_join_windows": """
+            WITH win AS (
+              SELECT user_id, event_id AS win_id, epoch_us(ts) AS w_start,
+                     epoch_us(ts) + 600000000 AS w_end
+              FROM events WHERE event_type = 'purchase')
+            SELECT w.win_id, w.user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events e JOIN win w
+              ON e.user_id = w.user_id
+             AND epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
+            GROUP BY 1, 2
         """,
         "fingerprint_report": """
             SELECT md5(event_type || '|' || regexp_replace(props, '[0-9]+', '?', 'g')) AS fingerprint,

@@ -82,3 +82,45 @@ def asof_join(
         F.col(f"_carry_{c}").alias(c) for c in value_cols
     ]
     return carried.filter(F.col("_side") == 1).select(*keep)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval join: every (left row, right interval) pair with
+    ``start <= ts < end`` (and equal ``on`` keys), without the
+    nested-loop plan Spark falls back to for inequality conditions —
+    which at scale is |left| x |right| per key.
+
+    Binning strategy: each left row lands in the single time bin of its
+    ``ts``; each right interval EXPLODES into every bin it covers
+    (ceil(len/bin_width)+1 rows — intervals are assumed bounded, e.g.
+    sessions or maintenance windows, so the explode factor is a small
+    constant). The join is then a pure equi-join on (keys..., bin) —
+    shuffle-partitionable, AQE-skew-splittable — with the exact
+    inequality applied as a post-filter. Each (row, interval) pair meets
+    in EXACTLY one bin (the bin of ts), so no dedup pass is needed.
+
+    ``bin_width`` is in the ts column's own units (use epoch seconds for
+    timestamps) and should be on the order of the typical interval
+    length: too small explodes intervals into many bins, too large
+    degrades to a per-key nested loop inside each bin.
+    """
+    lbin = (F.col(left_ts).cast("double") / bin_width).cast("long")
+    s = F.col(right_start).cast("double")
+    e = F.col(right_end).cast("double")
+    first = (s / bin_width).cast("long")
+    last = (e / bin_width).cast("long")
+    r = right.withColumn("_bin", F.explode(F.sequence(first, last)))
+    l = left.withColumn("_bin", lbin)
+    out = l.join(r, on=on + ["_bin"]).filter(
+        (F.col(left_ts).cast("double") >= s)
+        & (F.col(left_ts).cast("double") < e)
+    )
+    return out.drop("_bin")

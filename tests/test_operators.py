@@ -304,3 +304,34 @@ def test_minhash_lsh_index_incremental_equals_batch(spark, tmp_path):
                 tail, d.filter("doc_id < 40"),
                 num_hashes=32, bands=8, verify_threshold=0.4).collect()}
     assert got == want and len(want) > 0
+
+
+def test_range_join_semantics(spark):
+    """Bin equi-join range join must be EXACT: inclusive start,
+    exclusive end, key isolation, intervals spanning multiple bins, and
+    one output row per qualifying (row, interval) pair even when the
+    pair's bin straddles interval chunks."""
+    from polardbx_tools_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [("a", 0), ("a", 5), ("a", 10), ("a", 25), ("b", 5)],
+        "k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 0, 10), ("a", 2, 5, 30), ("b", 3, 0, 6)],
+        "k string, win long, s long, e long",
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["win"])
+        for r in temporal.range_join(
+            left, right, on=["k"], left_ts="ts",
+            right_start="s", right_end="e", bin_width=4,
+        ).collect()
+    )
+    assert got == [
+        ("a", 0, 1),              # inclusive start
+        ("a", 5, 1), ("a", 5, 2),
+        ("a", 10, 2),             # ts=10 out of win 1 (exclusive end), in win 2
+        ("a", 25, 2),             # interval spans many bins
+        ("b", 5, 3),              # key isolation; ts=10 excluded from win 1 (exclusive end)
+    ]

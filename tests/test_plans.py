@@ -161,3 +161,41 @@ def test_scan_skips_python_for_builtin_ops(spark):
     )
     # "*(n)" prefixes mark WholeStageCodegen stages in Spark 4 plan strings
     assert "*(1)" in plan(simple)
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """range_join's bin strategy must plan as a hash/sort-merge equi-join
+    — never the BroadcastNestedLoopJoin/CartesianProduct Spark picks for
+    raw inequality joins (which is |left| x |right| per key at scale)."""
+    from polardbx_tools_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    left = ev.select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    win = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("w_start"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(600_000_000)).alias("w_end"),
+    )
+    j = temporal.range_join(
+        left, win, on=["user_id"], left_ts="ts_us",
+        right_start="w_start", right_end="w_end", bin_width=600_000_000,
+    )
+    p = plan(j)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "Join" in p, p
+
+
+def test_asof_join_single_shuffle(spark):
+    """asof_join's union+carry plan must shuffle ONCE on the key (the
+    window exchange) — no join node at all, hence no per-key pair
+    explosion."""
+    from polardbx_tools_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q = ev.filter(F.col("event_type") == "purchase").groupBy("user_id", "ts").agg(
+        F.max("value").alias("v"))
+    out = temporal.asof_join(ev, q, on=["user_id"], value_cols=["v"])
+    p = plan(out)
+    # the only exchanges: the window's hashpartitioning(user_id) plus the
+    # pre-aggregated right side's own groupBy exchange
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
