@@ -113,3 +113,127 @@ def start_windowed_counts_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    index_path: str,
+    accepted_dir: str,
+    rejected_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Streaming corpus-curation gate: tail a document directory and
+    content-dedup each microbatch against everything accepted so far.
+
+    Per microbatch (foreachBatch):
+
+    1. near-dup pairs of the batch vs the persistent
+       :class:`~polardbx_tools_spark.operators.dedup.MinHashLshIndex`
+       at ``index_path`` (cost ∝ batch × collisions — the corpus side
+       is the materialized band/shingle index, never re-shingled);
+    2. batch-internal near-dups via the same banding (keep the lowest
+       id of each intra-batch pair);
+    3. rejected docs land in ``rejected_dir`` with the duplicate's id;
+       accepted docs land in ``accepted_dir`` AND are appended to the
+       index, so later batches dedup against them.
+
+    This is the ingest-time shape of training-data dedup: the batch
+    operators (minhash_lsh_pairs et al.) answer "is this corpus clean?",
+    this stream answers "keep it clean as it grows" with per-batch cost
+    bounded by the batch. Idempotent replay mirrors the CDC tail's
+    discipline: a replayed microbatch is anti-joined against the ids
+    already processed (indexed ∪ rejected) before anything runs, so it
+    accepts, rejects, and indexes NOTHING twice — the doc id is the
+    idempotence key, exactly as (conv_id, turn_idx, lsn) is for the
+    merge. (A crash in the middle of a batch's sink writes can leave
+    that one batch's rows at-least-once in accepted/rejected — the
+    sinks here are plain parquet appends, not the lake's atomic
+    snapshot; route accepted docs through the lake merge when that
+    matters, or dedup by id downstream.)
+    """
+    import os
+
+    from polardbx_tools_spark.operators.dedup import MinHashLshIndex
+
+    idx = MinHashLshIndex(
+        spark, index_path, num_hashes=num_hashes, bands=bands
+    )
+
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+
+    def apply(batch_df, batch_id: int) -> None:
+        have_index = os.path.isdir(f"{idx.path}/hs")
+        # replay/idempotence guard: drop ids this gate already decided
+        # (accepted ids live in the index; rejected ids in rejected_dir)
+        if have_index:
+            seen = spark.read.parquet(f"{idx.path}/hs").select(
+                F.col("id").alias(id_col)
+            )
+            if os.path.isdir(rejected_dir):
+                seen = seen.unionByName(
+                    spark.read.parquet(rejected_dir).select(id_col)
+                )
+            batch_df = batch_df.join(seen, on=id_col, how="left_anti")
+        batch_df = batch_df.persist()
+        try:
+            # vs the accepted corpus (empty on the very first batch)
+            if have_index:
+                vs_index = (
+                    idx.pairs_against(
+                        batch_df, text_col, id_col,
+                        verify_threshold=verify_threshold,
+                    )
+                    .groupBy(F.col("new_id").alias(id_col))
+                    .agg(F.min("corpus_id").alias("dup_of"))
+                )
+            else:
+                vs_index = None
+            # intra-batch: keep the lowest id of each near-dup pair
+            from polardbx_tools_spark.operators.dedup import minhash_lsh_pairs
+
+            intra = (
+                minhash_lsh_pairs(
+                    batch_df, text_col, id_col,
+                    num_hashes=num_hashes, bands=bands,
+                    verify_threshold=verify_threshold,
+                )
+                .groupBy(F.col("id_b").alias(id_col))
+                .agg(F.min("id_a").alias("dup_of"))
+            )
+            rejects = intra if vs_index is None else (
+                vs_index.unionByName(intra)
+                .groupBy(id_col)
+                .agg(F.min("dup_of").alias("dup_of"))
+            )
+            rejects = rejects.persist()
+            rejected = batch_df.join(rejects, on=id_col, how="inner")
+            accepted = batch_df.join(rejects, on=id_col, how="left_anti")
+            rejected.write.mode("append").parquet(rejected_dir)
+            accepted.write.mode("append").parquet(accepted_dir)
+            idx.append(accepted, text_col, id_col)
+            rejects.unpersist()
+        finally:
+            batch_df.unpersist()
+            spark.catalog.clearCache()
+
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

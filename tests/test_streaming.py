@@ -219,3 +219,69 @@ def test_watermarked_window_agg_drops_late_data(spark, tmp_path):
     assert got2[0] == 10, f"late data resurrected an emitted window: {got2}"
     assert got2[3] == 13 and got2[4] == 14 and got2[5] == 15, got2
     assert 9 not in got2  # its window is not final yet
+
+
+def test_streaming_dedup_gate(spark, tmp_path):
+    """Corpus-curation tail: drained batches must leave an accepted
+    corpus with NO near-dup pair (at the gate's threshold), every
+    rejected doc must point at an earlier-accepted near-dup, and a
+    checkpoint replay (restart with the same source) must change
+    nothing — the id guard makes replays no-ops."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from polardbx_tools_spark.operators import dedup
+    from polardbx_tools_spark.streaming import start_dedup_stream
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "incoming")
+    d.write.parquet(src + "/seg")
+    _os.makedirs(src + "/flat")
+    for i, f in enumerate(sorted(_glob.glob(src + "/seg/**/*.parquet",
+                                            recursive=True))):
+        _shutil.copy(f, f"{src}/flat/part-{i:04d}.parquet")
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    kw = dict(
+        index_path=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+        rejected_dir=str(tmp_path / "rej"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        verify_threshold=0.4,
+        max_files_per_trigger=2,
+    )
+    q = start_dedup_stream(spark, src + "/flat", schema, **kw)
+    q.awaitTermination(120)
+
+    acc = spark.read.parquet(str(tmp_path / "acc"))
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    n_acc, n_rej = acc.count(), rej.count()
+    assert n_acc + n_rej == d.count()
+    assert n_rej > 0, "sf0.001 documents contain near-dups; gate found none"
+
+    # accepted corpus is clean at the gate's threshold
+    left = dedup.minhash_lsh_pairs(acc, num_hashes=32, bands=8,
+                                   verify_threshold=0.4).count()
+    assert left == 0, f"{left} near-dup pairs survived the gate"
+
+    # every reject points at an ACCEPTED doc with verified similarity
+    joined = rej.join(acc.select(F.col("doc_id").alias("dup_of")), on="dup_of")
+    assert joined.count() == n_rej
+
+    # replay: same source with a FRESH checkpoint re-delivers every
+    # batch — the processed-ids guard must make the whole rerun a no-op
+    kw2 = dict(kw, checkpoint_dir=str(tmp_path / "ckpt2"),
+               max_files_per_trigger=3)  # different batch boundaries too
+    q2 = start_dedup_stream(spark, src + "/flat", schema, **kw2)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "acc")).count() == n_acc
+    assert spark.read.parquet(str(tmp_path / "rej")).count() == n_rej
+    idx_rows = spark.read.parquet(str(tmp_path / "idx") + "/hs").count()
+    assert idx_rows == n_acc, "index must hold exactly the accepted docs"
