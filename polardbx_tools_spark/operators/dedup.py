@@ -736,19 +736,25 @@ def duplicate_clusters(
     )
     prev_sum = None
     try:
-        for _ in range(max_iterations):
+        from pyspark.sql import Observation
+
+        for i in range(max_iterations):
             neigh = (
                 edges.join(labels, edges["b"] == labels["v"])
                 .select(edges["a"].alias("v"), labels["l"])
             )
+            # the convergence metric rides the SAME job that materializes
+            # the round's labels (Observation over the checkpoint scan) —
+            # one Spark job per round, not two
+            obs = Observation(f"cc_round_{i}")
             labels = (
                 labels.unionByName(neigh)
                 .groupBy("v")
                 .agg(F.min("l").alias("l"))
+                .observe(obs, F.sum("l").alias("s"))
                 .localCheckpoint(eager=True)
             )
-            row = labels.agg(F.sum("l").alias("s")).collect()[0]
-            cur_sum = row["s"]
+            cur_sum = obs.get["s"]
             if cur_sum == prev_sum:
                 return labels.select(
                     F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
