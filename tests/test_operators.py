@@ -335,3 +335,87 @@ def test_range_join_semantics(spark):
         ("a", 25, 2),             # interval spans many bins
         ("b", 5, 3),              # key isolation; ts=10 excluded from win 1 (exclusive end)
     ]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized parity vs an independent implementation: pandas
+    merge_asof(by=key, direction='backward') on seeded random frames —
+    both exact-match and strict modes."""
+    import numpy as np
+    import pandas as pd
+
+    from polardbx_tools_spark.operators import temporal
+
+    rng = np.random.RandomState(7)
+    left_pd = pd.DataFrame({
+        "k": rng.randint(0, 6, 300).astype(str),
+        "ts": rng.randint(0, 1000, 300).astype("int64"),
+        "lid": np.arange(300, dtype="int64"),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.randint(0, 6, 120).astype(str),
+        "ts": rng.randint(0, 1000, 120).astype("int64"),
+        "v": np.round(rng.randn(120), 3),
+    })
+    # asof requires a unique right (key, ts): keep max v per (k, ts)
+    right_pd = right_pd.groupby(["k", "ts"], as_index=False)["v"].max()
+
+    for exact in (True, False):
+        want = pd.merge_asof(
+            left_pd.sort_values(["ts", "lid"], kind="mergesort"),
+            right_pd.sort_values("ts", kind="mergesort"),
+            on="ts", by="k", direction="backward",
+            allow_exact_matches=exact,
+        ).set_index("lid")["v"].to_dict()
+        got = {
+            r["lid"]: r["v"]
+            for r in temporal.asof_join(
+                spark.createDataFrame(left_pd),
+                spark.createDataFrame(right_pd),
+                on=["k"], value_cols=["v"], allow_exact_matches=exact,
+            ).collect()
+        }
+        assert len(got) == len(left_pd)
+        for lid, w in want.items():
+            g = got[lid]
+            assert (pd.isna(w) and g is None) or g == w, (exact, lid, g, w)
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Randomized parity vs the O(n*m) definition on seeded frames,
+    across bin widths (bin geometry must never change the result)."""
+    import numpy as np
+    import pandas as pd
+
+    from polardbx_tools_spark.operators import temporal
+
+    rng = np.random.RandomState(11)
+    left_pd = pd.DataFrame({
+        "k": rng.randint(0, 5, 250).astype(str),
+        "ts": rng.randint(0, 500, 250).astype("int64"),
+        "lid": np.arange(250, dtype="int64"),
+    })
+    s = rng.randint(0, 480, 60).astype("int64")
+    right_pd = pd.DataFrame({
+        "k": rng.randint(0, 5, 60).astype(str),
+        "s": s,
+        "e": s + rng.randint(1, 120, 60).astype("int64"),
+        "win": np.arange(60, dtype="int64"),
+    })
+    want = {
+        (int(l.lid), int(r.win))
+        for l in left_pd.itertuples()
+        for r in right_pd.itertuples()
+        if l.k == r.k and r.s <= l.ts < r.e
+    }
+    for bw in (7, 64, 1000):
+        got = {
+            (r["lid"], r["win"])
+            for r in temporal.range_join(
+                spark.createDataFrame(left_pd),
+                spark.createDataFrame(right_pd),
+                on=["k"], left_ts="ts", right_start="s", right_end="e",
+                bin_width=bw,
+            ).collect()
+        }
+        assert got == want, f"bin_width={bw}"

@@ -1,0 +1,84 @@
+"""Production job entry point for the corpus-curation gate
+(`spark-submit --py-files`).
+
+Tails (or batch-drains) a document directory and content-dedups every
+microbatch against the growing accepted corpus via the persistent LSH
+band index:
+
+    spark-submit --master <cluster> \
+        --py-files dist/polardbx_tools_spark.zip tools/run_curation.py \
+        --source <docs-dir> --index <dir> --accepted <dir> \
+        --rejected <dir> --checkpoint <dir> \
+        [--threshold 0.5] [--hashes 32] [--bands 8] \
+        [--max-files-per-trigger N] [--follow]
+
+`--follow` keeps tailing (production); without it the job drains what
+exists and exits (backfill). Both modes share the same gate, index, and
+id-level replay idempotence, so a backfill followed by a tail is
+seamless — exactly like the CDC ingest entry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--accepted", required=True)
+    ap.add_argument("--rejected", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="verified-jaccard rejection threshold")
+    ap.add_argument("--hashes", type=int, default=32)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--follow", action="store_true",
+                    help="keep tailing instead of drain-and-exit")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from polardbx_tools_spark.streaming import start_dedup_stream
+
+    spark = SparkSession.builder.getOrCreate()  # master/conf from spark-submit
+    schema = StructType([
+        StructField(args.id_col, LongType()),
+        StructField(args.text_col, StringType()),
+    ])
+    q = start_dedup_stream(
+        spark,
+        args.source,
+        schema,
+        index_path=args.index,
+        accepted_dir=args.accepted,
+        rejected_dir=args.rejected,
+        checkpoint_dir=args.checkpoint,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        verify_threshold=args.threshold,
+        num_hashes=args.hashes,
+        bands=args.bands,
+        available_now=not args.follow,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    if not args.follow:
+        acc = spark.read.parquet(args.accepted).count() \
+            if os.path.isdir(args.accepted) else 0
+        rej = spark.read.parquet(args.rejected).count() \
+            if os.path.isdir(args.rejected) else 0
+        print(f"done: {acc} accepted, {rej} rejected")
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,7 @@ def main() -> None:
             checkpoint_dir=args.checkpoint,
             bucket_count=args.buckets,
             available_now=False,
+            merge_mode=args.merge_mode,
         )
         q.awaitTermination()
     else:
