@@ -709,6 +709,18 @@ def _q_dedup_clusters(spark, sf):
     return dedup.duplicate_clusters(pairs)
 
 
+def _q_corpus_split_leakproof(spark, sf):
+    """Leakage-safe train/val/test split: assignment decided per
+    near-dup CLUSTER (minhash-LSH feed), so a doc and its near-dups can
+    never straddle splits — the eval-contamination guard a per-doc
+    random split lacks. Oracle: golden clusters parquet LEFT JOINed to
+    documents with the identical multiplicative-hash arithmetic."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.leakage_safe_split(d, clusters)
+
+
 def _q_corpus_curation(spark, sf):
     """End-to-end training-data curation pipeline: quality gate →
     language gate → exact dedup (min-id representative) → corpus stats.
@@ -960,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "corpus_sample_stratified": _q_corpus_sample_stratified,
+        "corpus_split_leakproof": _q_corpus_split_leakproof,
         "corpus_curation": _q_corpus_curation,
         "dedup_exact": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
@@ -1355,6 +1368,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": """
             SELECT doc_id, cluster_id
             FROM read_parquet('/root/repo/tests/golden/dedup_clusters.sf0.01.parquet')
+        """,
+        "corpus_split_leakproof": """
+            WITH c AS (SELECT doc_id, cluster_id
+                       FROM read_parquet('/root/repo/tests/golden/dedup_clusters.sf0.01.parquet')),
+            assigned AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                        WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM assigned
         """,
         "dedup_keep_canonical": """
             SELECT d.doc_id

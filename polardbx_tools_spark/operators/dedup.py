@@ -551,6 +551,45 @@ def incremental_minhash_pairs(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the split is decided per duplicate CLUSTER, not per
+    document, so a doc and its near-dups always land together (the
+    classic eval-contamination failure of per-doc random splits).
+
+    ``clusters`` is any (doc_id, cluster_id) relation — typically
+    :func:`duplicate_clusters` over LSH candidate pairs; docs absent
+    from it are singleton clusters (cluster_id = own id). The split
+    hash is the same engine-neutral multiplicative hash the stratified
+    sampler uses (Knuth 2654435761 mod 2^32 mod 100), so any engine —
+    and the SQL oracle — reproduces the assignment bit-for-bit.
+    Pure joins + per-row arithmetic: no shuffle beyond the cluster
+    join, fully deterministic at any scale.
+    """
+    c = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
+    out = (
+        df.select(id_col)
+        .join(c, on=id_col, how="left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    h = F.pmod(
+        (F.col("cluster_id") * F.lit(2654435761)) % F.lit(4294967296),
+        F.lit(100),
+    )
+    split = (
+        F.when(h < train_pct, F.lit("train"))
+        .when(h < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return out.withColumn("split", split)
+
+
 class MinHashLshIndex:
     """Persistent MinHash-LSH dedup index — the steady-state form of
     :func:`incremental_minhash_pairs` for an ingest pipeline.

@@ -419,3 +419,24 @@ def test_range_join_matches_bruteforce(spark):
             ).collect()
         }
         assert got == want, f"bin_width={bw}"
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """Every duplicate cluster must land entirely in ONE split; docs
+    outside any cluster are singletons; all docs covered exactly once."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8,
+                                    verify_threshold=0.4)
+    clusters = dedup.duplicate_clusters(pairs)
+    out = dedup.leakage_safe_split(d, clusters)
+    assert out.count() == d.count()
+    assert out.select("doc_id").distinct().count() == d.count()
+    straddling = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert straddling == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
