@@ -18,6 +18,13 @@ the *content* dedup operators a training-data pipeline needs on top
   bit-position groupBy; hamming ≤ r candidate filter.
 * duplicate_clusters: distributed min-label connected components over
   any pair operator's output (diameter-bounded rounds).
+* ngram_jaccard_pairs: char-3-gram twin of jaccard_pairs (robust to
+  word reorderings / whitespace edits).
+* incremental_minhash_pairs / MinHashLshIndex: new-batch-vs-corpus
+  dedup without the corpus self-join; the index materializes the
+  corpus side's band/shingle relations so steady-state cost ∝ batch.
+* leakage_safe_split: train/val/test decided per duplicate cluster so
+  near-dups never straddle splits.
 """
 
 from __future__ import annotations
