@@ -528,10 +528,14 @@ def _banded_by_mask(
     id_alias: str,
     vec_alias: str | None,
     widen: bool = False,
+    norm_alias: str | None = None,
 ) -> DataFrame:
-    """(id[, vec], t, bucket) — one row per (input row, hash table),
-    with the bucket derived from a sign mask computed ONCE per input
-    row (below the Generate), not per exploded output row.
+    """(id[, vec][, norm], t, bucket) — one row per (input row, hash
+    table), with the bucket derived from a sign mask computed ONCE per
+    input row (below the Generate), not per exploded output row.
+    ``norm_alias`` likewise computes the row's L2 norm once below the
+    explode, so downstream cosine scoring pays one fold per PAIR
+    (the dot) instead of three.
 
     ``widen``: round-robin repartition the input to the session's core
     count before the mask projection IFF its scan has fewer splits —
@@ -545,12 +549,19 @@ def _banded_by_mask(
     masked = df.select(
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias("_v"),
+        *([l2_norm(F.col(vec_col)).alias(norm_alias)] if norm_alias else []),
         lsh_sign_mask(F.col(vec_col), dim, n_bits, seed).alias("_m"),
     )
-    keep = [id_alias] + ([vec_alias] if vec_alias else []) + ["t"]
+    keep = (
+        [id_alias]
+        + ([vec_alias] if vec_alias else [])
+        + ([norm_alias] if norm_alias else [])
+        + ["t"]
+    )
     return masked.select(
         id_alias,
         *([F.col("_v").alias(vec_alias)] if vec_alias else []),
+        *([norm_alias] if norm_alias else []),
         F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
         "_m",
     ).select(
@@ -629,11 +640,11 @@ def lsh_topk(
 
     cb = _banded_by_mask(
         corpus, dim, n_planes, n_tables, seed, id_col, vec_col,
-        "neighbor_id", "c_vec", widen=True,
+        "neighbor_id", "c_vec", widen=True, norm_alias="c_norm",
     )
     qb = F.broadcast(_banded_by_mask(
         queries, dim, n_planes, n_tables, seed, id_col, vec_col,
-        "query_id", "q_vec",
+        "query_id", "q_vec", norm_alias="q_norm",
     ))
     scored = (
         cb.join(qb, on=["t", "bucket"])
@@ -641,7 +652,10 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"),
+                F.col("q_norm"), F.col("c_norm"),
+            ).alias("cosine"),
         )
         # a pair colliding in several tables scores identically each time:
         # max() dedups without a join-back
