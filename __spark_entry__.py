@@ -826,7 +826,8 @@ def _q_corpus_sample_stratified(spark, sf):
     multiplicative hash of doc_id — reproducible across engines/runs and
     at any scale (pure per-row predicate: no shuffle, full pushdown)."""
     d = _t(spark, sf, "documents")
-    h = F.pmod((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296), F.lit(100))
+    h = F.pmod((F.col("doc_id") % F.lit(4294967296)) * F.lit(1048573)
+               % F.lit(4294967296), F.lit(100))
     lang = text.lang_id(F.col("text"))
     rate = (
         F.when(lang == "en", F.lit(50))
@@ -1376,8 +1377,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
               FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id)
             SELECT doc_id, cluster_id,
-                   CASE WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-                        WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                   CASE WHEN (cluster_id % 4294967296) * 1048573 % 4294967296 % 100 < 80 THEN 'train'
+                        WHEN (cluster_id % 4294967296) * 1048573 % 4294967296 % 100 < 90 THEN 'val'
                         ELSE 'test' END AS split
             FROM assigned
         """,
@@ -1400,7 +1401,7 @@ def oracle_sql() -> dict[str, str]:
                        len({_TOKS_L}) >= 0.08
                   THEN 'en'
                   ELSE 'unk' END AS pred_lang,
-                (doc_id * 2654435761) % 4294967296 % 100 AS h
+                (doc_id % 4294967296) * 1048573 % 4294967296 % 100 AS h
               FROM documents)
             SELECT doc_id, pred_lang FROM t
             WHERE h < CASE pred_lang WHEN 'en' THEN 50 WHEN 'unk' THEN 20 ELSE 100 END

@@ -574,7 +574,9 @@ def leakage_safe_split(
     :func:`duplicate_clusters` over LSH candidate pairs; docs absent
     from it are singleton clusters (cluster_id = own id). The split
     hash is the same engine-neutral multiplicative hash the stratified
-    sampler uses (Knuth 2654435761 mod 2^32 mod 100), so any engine —
+    sampler uses ((id mod 2^32) * 1048573 mod 2^32 mod 100 — every
+    intermediate fits in 2^52, so int64 ANSI engines and the SQL oracle
+    never overflow even at 10^10-scale ids), so any engine —
     and the SQL oracle — reproduces the assignment bit-for-bit.
     Pure joins + per-row arithmetic: no shuffle beyond the cluster
     join, fully deterministic at any scale.
@@ -586,7 +588,8 @@ def leakage_safe_split(
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
     )
     h = F.pmod(
-        (F.col("cluster_id") * F.lit(2654435761)) % F.lit(4294967296),
+        (F.col("cluster_id") % F.lit(4294967296)) * F.lit(1048573)
+        % F.lit(4294967296),
         F.lit(100),
     )
     split = (
@@ -646,10 +649,18 @@ class MinHashLshIndex:
 
     def append(self, df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> None:
-        """Index a batch: derive + append its hs and banded rows."""
+        """Index a batch: derive + append its banded and hs rows.
+
+        Write order matters for crash safety: ``banded`` first, ``hs``
+        second. Consumers treat presence in ``hs`` as "indexed" (e.g.
+        the streaming gate's replay guard), so a crash between the two
+        writes leaves ids absent from hs → the batch is re-derived and
+        re-appended (duplicate banded rows are harmless — candidates are
+        ``.distinct()``), never ids that LOOK indexed but have no band
+        rows and would be invisible to candidate generation forever."""
         hs, banded = self._derive(df, text_col, id_col)
-        hs.write.mode("append").parquet(f"{self.path}/hs")
         banded.write.mode("append").parquet(f"{self.path}/banded")
+        hs.write.mode("append").parquet(f"{self.path}/hs")
         hs.unpersist()
         banded.unpersist()
 

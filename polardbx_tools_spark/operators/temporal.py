@@ -18,7 +18,7 @@ relational operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -69,17 +69,19 @@ def asof_join(
         .orderBy("_ats", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the payload as ONE struct: a matched right row whose values
+    # are all NULL still produces a non-NULL struct, so "matched, value
+    # NULL" stays distinct from "no prior right row" (pandas/DuckDB
+    # return NULL from the MATCHED row, never a stale older value)
+    payload = F.when(
+        F.col("_side") != 1, F.struct(*[F.col(c) for c in value_cols])
+    )
     carried = r.unionByName(l, allowMissingColumns=True).select(
         "*",
-        *[
-            F.last(F.when(F.col("_side") != 1, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"_carry_{c}")
-            for c in value_cols
-        ],
+        F.last(payload, ignorenulls=True).over(w).alias("_carry"),
     )
     keep = [c for c in left.columns] + [
-        F.col(f"_carry_{c}").alias(c) for c in value_cols
+        F.col(f"_carry.{c}").alias(c) for c in value_cols
     ]
     return carried.filter(F.col("_side") == 1).select(*keep)
 
@@ -107,20 +109,26 @@ def range_join(
     inequality applied as a post-filter. Each (row, interval) pair meets
     in EXACTLY one bin (the bin of ts), so no dedup pass is needed.
 
-    ``bin_width`` is in the ts column's own units (use epoch seconds for
-    timestamps) and should be on the order of the typical interval
-    length: too small explodes intervals into many bins, too large
-    degrades to a per-key nested loop inside each bin.
+    ``bin_width`` is in the (numeric) ts column's own units — use epoch
+    seconds/micros longs for timestamps — and should be on the order of
+    the typical interval length: too small explodes intervals into many
+    bins, too large degrades to a per-key nested loop inside each bin.
+
+    All arithmetic is INTEGER (``div`` truncation — monotonic, so a row
+    inside an interval always lands within the interval's truncated bin
+    range) and the boundary filter compares the native columns: exact at
+    any magnitude, including epoch-nanosecond longs past 2^53 where a
+    double round-trip would mis-place boundaries.
     """
-    lbin = (F.col(left_ts).cast("double") / bin_width).cast("long")
-    s = F.col(right_start).cast("double")
-    e = F.col(right_end).cast("double")
-    first = (s / bin_width).cast("long")
-    last = (e / bin_width).cast("long")
-    r = right.withColumn("_bin", F.explode(F.sequence(first, last)))
-    l = left.withColumn("_bin", lbin)
+    def _bin(cname: str) -> Column:
+        return F.expr(f"CAST(`{cname}` AS BIGINT) div {int(bin_width)}")
+
+    r = right.withColumn(
+        "_bin", F.explode(F.sequence(_bin(right_start), _bin(right_end)))
+    )
+    l = left.withColumn("_bin", _bin(left_ts))
     out = l.join(r, on=on + ["_bin"]).filter(
-        (F.col(left_ts).cast("double") >= s)
-        & (F.col(left_ts).cast("double") < e)
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) < F.col(right_end))
     )
     return out.drop("_bin")

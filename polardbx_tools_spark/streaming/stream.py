@@ -25,6 +25,18 @@ from pyspark.sql.types import StructType
 from polardbx_tools_spark.pipeline import CdcPipeline
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — works for
+    local paths AND hdfs://, s3a://, etc.; a driver-local os.path check
+    would silently report False on any non-local filesystem (review
+    finding: that disabled the dedup gate's corpus check + replay guard
+    whenever the index lives on cluster storage)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def start_cdc_stream(
     spark: SparkSession,
     source_dir: str,
@@ -135,14 +147,21 @@ def start_dedup_stream(
     """Streaming corpus-curation gate: tail a document directory and
     content-dedup each microbatch against everything accepted so far.
 
-    Per microbatch (foreachBatch):
+    Per microbatch (foreachBatch), the batch's hashed-shingle and band
+    relations are derived ONCE and reused by every step (index join,
+    intra self-join, verification, index append — shingling+minhash is
+    the dominant per-doc cost):
 
     1. near-dup pairs of the batch vs the persistent
        :class:`~polardbx_tools_spark.operators.dedup.MinHashLshIndex`
        at ``index_path`` (cost ∝ batch × collisions — the corpus side
        is the materialized band/shingle index, never re-shingled);
-    2. batch-internal near-dups via the same banding (keep the lowest
-       id of each intra-batch pair);
+    2. batch-internal near-dup CLUSTERS (connected components over the
+       verified pair graph): one canonical doc per cluster is kept —
+       the lowest id not already rejected by the index — and the rest
+       reject against it, so every intra reject's ``dup_of`` is an
+       ACCEPTED doc (a pairwise-greedy rule can chain-reject docs whose
+       dup_of was itself rejected);
     3. rejected docs land in ``rejected_dir`` with the duplicate's id;
        accepted docs land in ``accepted_dir`` AND are appended to the
        index, so later batches dedup against them.
@@ -155,15 +174,18 @@ def start_dedup_stream(
     already processed (indexed ∪ rejected) before anything runs, so it
     accepts, rejects, and indexes NOTHING twice — the doc id is the
     idempotence key, exactly as (conv_id, turn_idx, lsn) is for the
-    merge. (A crash in the middle of a batch's sink writes can leave
-    that one batch's rows at-least-once in accepted/rejected — the
-    sinks here are plain parquet appends, not the lake's atomic
-    snapshot; route accepted docs through the lake merge when that
-    matters, or dedup by id downstream.)
+    merge. Existence probes go through the Hadoop FileSystem API, so
+    the gate behaves the same on HDFS/S3 paths as on local disk. (A
+    crash in the middle of a batch's sink writes can leave that one
+    batch's rows at-least-once in accepted/rejected — the sinks here
+    are plain parquet appends, not the lake's atomic snapshot; route
+    accepted docs through the lake merge when that matters, or dedup by
+    id downstream. The index itself fails safe: band rows are written
+    before the shingle rows the replay guard keys on.)
     """
-    import os
-
-    from polardbx_tools_spark.operators.dedup import MinHashLshIndex
+    from polardbx_tools_spark.operators.dedup import (
+        MinHashLshIndex, duplicate_clusters,
+    )
 
     idx = MinHashLshIndex(
         spark, index_path, num_hashes=num_hashes, bands=bands
@@ -175,56 +197,106 @@ def start_dedup_stream(
     stream = reader.load(source_dir)
 
     def apply(batch_df, batch_id: int) -> None:
-        have_index = os.path.isdir(f"{idx.path}/hs")
+        have_index = _fs_exists(spark, f"{idx.path}/hs")
         # replay/idempotence guard: drop ids this gate already decided
-        # (accepted ids live in the index; rejected ids in rejected_dir)
+        # (accepted ids live in the index; rejected ids in rejected_dir
+        # — checked INDEPENDENTLY of the index, so a crash before the
+        # first index append still cannot double-reject)
+        seen = None
         if have_index:
             seen = spark.read.parquet(f"{idx.path}/hs").select(
                 F.col("id").alias(id_col)
             )
-            if os.path.isdir(rejected_dir):
-                seen = seen.unionByName(
-                    spark.read.parquet(rejected_dir).select(id_col)
-                )
+        if _fs_exists(spark, rejected_dir):
+            rej_ids = spark.read.parquet(rejected_dir).select(id_col)
+            seen = rej_ids if seen is None else seen.unionByName(rej_ids)
+        if seen is not None:
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
         batch_df = batch_df.persist()
         try:
+            # ONE derivation of the batch's shingle/band relations
+            hs_new, banded_new = idx._derive(batch_df, text_col, id_col)
+            inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+            union = F.size(F.array_union(F.col("hs_a"), F.col("hs_b")))
+            jac = (inter / union).cast("double")
+
+            def verify(cands, a_col, b_col, hs_right):
+                return (
+                    cands
+                    .join(hs_new.select(F.col("id").alias(a_col),
+                                        F.col("hs").alias("hs_a")), on=a_col)
+                    .join(hs_right.select(F.col("id").alias(b_col),
+                                          F.col("hs").alias("hs_b")), on=b_col)
+                    .filter(jac >= verify_threshold)
+                    .select(a_col, b_col)
+                )
+
             # vs the accepted corpus (empty on the very first batch)
             if have_index:
+                banded_old = spark.read.parquet(f"{idx.path}/banded")
+                hs_old = spark.read.parquet(f"{idx.path}/hs")
+                cands = (
+                    banded_new.select(F.col("id").alias(id_col), "band", "bucket")
+                    .join(banded_old.select(F.col("id").alias("dup_of"),
+                                            "band", "bucket"),
+                          on=["band", "bucket"])
+                    .select(id_col, "dup_of")
+                    .distinct()
+                )
                 vs_index = (
-                    idx.pairs_against(
-                        batch_df, text_col, id_col,
-                        verify_threshold=verify_threshold,
-                    )
-                    .groupBy(F.col("new_id").alias(id_col))
-                    .agg(F.min("corpus_id").alias("dup_of"))
+                    verify(cands, id_col, "dup_of", hs_old)
+                    .groupBy(id_col)
+                    .agg(F.min("dup_of").alias("dup_of"))
+                    .persist()
                 )
             else:
                 vs_index = None
-            # intra-batch: keep the lowest id of each near-dup pair
-            from polardbx_tools_spark.operators.dedup import minhash_lsh_pairs
-
+            # intra-batch near-dup clusters over the verified pair graph
+            a = banded_new.select(F.col("id").alias("id_a"), "band", "bucket")
+            b = banded_new.select(F.col("id").alias("id_b"), "band", "bucket")
+            cands = (
+                a.join(b, on=["band", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            pairs = verify(cands, "id_a", "id_b", hs_new)
+            clusters = duplicate_clusters(pairs)
+            # canonical = lowest cluster member NOT index-rejected; other
+            # members reject against it (dup_of is always accepted)
+            members = (
+                clusters.withColumnRenamed("doc_id", id_col)
+                if vs_index is None
+                else clusters.withColumnRenamed("doc_id", id_col)
+                .join(vs_index.select(id_col), on=id_col, how="left_anti")
+            )
+            canon = members.groupBy("cluster_id").agg(
+                F.min(id_col).alias("dup_of")
+            )
             intra = (
-                minhash_lsh_pairs(
-                    batch_df, text_col, id_col,
-                    num_hashes=num_hashes, bands=bands,
-                    verify_threshold=verify_threshold,
-                )
-                .groupBy(F.col("id_b").alias(id_col))
-                .agg(F.min("id_a").alias("dup_of"))
+                members.join(canon, on="cluster_id")
+                .filter(F.col(id_col) != F.col("dup_of"))
+                .select(id_col, "dup_of")
             )
-            rejects = intra if vs_index is None else (
-                vs_index.unionByName(intra)
-                .groupBy(id_col)
-                .agg(F.min("dup_of").alias("dup_of"))
-            )
+            rejects = intra if vs_index is None else vs_index.unionByName(intra)
             rejects = rejects.persist()
             rejected = batch_df.join(rejects, on=id_col, how="inner")
-            accepted = batch_df.join(rejects, on=id_col, how="left_anti")
+            accepted = batch_df.join(
+                rejects.select(id_col), on=id_col, how="left_anti"
+            )
             rejected.write.mode("append").parquet(rejected_dir)
             accepted.write.mode("append").parquet(accepted_dir)
-            idx.append(accepted, text_col, id_col)
-            rejects.unpersist()
+            # index append from the SAME derived relations, filtered to
+            # accepted docs; banded first, hs second — the replay guard
+            # keys on hs, so a crash between the writes re-derives the
+            # batch instead of leaving docs invisible to candidates
+            keep = F.broadcast(accepted.select(F.col(id_col).alias("id")))
+            banded_new.join(keep, on="id").write.mode("append").parquet(
+                f"{idx.path}/banded"
+            )
+            hs_new.join(keep, on="id").write.mode("append").parquet(
+                f"{idx.path}/hs"
+            )
         finally:
             batch_df.unpersist()
             spark.catalog.clearCache()

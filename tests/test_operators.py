@@ -282,6 +282,22 @@ def test_asof_join_semantics(spark):
     assert strict[("a", 10)] == 100.0  # equal-ts row excluded
     assert strict[("a", 20)] == 300.0
 
+    # a MATCHED right row whose payload is NULL must yield NULL (the
+    # match), never carry the older non-NULL value (DuckDB/pandas
+    # ASOF semantics — review finding)
+    right_null = spark.createDataFrame(
+        [("a", 1, 100.0), ("a", 10, None)], "k string, ts long, v double"
+    )
+    got_null = {
+        (r["k"], r["ts"]): r["v"]
+        for r in temporal.asof_join(
+            left, right_null, on=["k"], value_cols=["v"]
+        ).collect()
+    }
+    assert got_null[("a", 5)] == 100.0
+    assert got_null[("a", 10)] is None   # matched ts=10, value NULL
+    assert got_null[("a", 20)] is None   # latest match is the NULL row
+
 
 def test_minhash_lsh_index_incremental_equals_batch(spark, tmp_path):
     """The persistent LSH index, built by appending two corpus batches,
@@ -419,6 +435,22 @@ def test_range_join_matches_bruteforce(spark):
             ).collect()
         }
         assert got == want, f"bin_width={bw}"
+
+    # exactness past 2^53 (epoch-nanosecond territory): a double round-
+    # trip loses ~256ns there and flips boundary comparisons; the
+    # integer path must stay exact (review finding)
+    base = (1 << 60) + 7
+    left2 = spark.createDataFrame(
+        [("a", base), ("a", base + 1), ("a", base + 2)], "k string, ts long"
+    )
+    right2 = spark.createDataFrame(
+        [("a", base + 1, base + 2, 1)], "k string, s long, e long, win long"
+    )
+    got2 = {(r["ts"] - base, r["win"]) for r in temporal.range_join(
+        left2, right2, on=["k"], left_ts="ts", right_start="s",
+        right_end="e", bin_width=1_000_000_000,
+    ).collect()}
+    assert got2 == {(1, 1)}  # only ts=base+1 is in [base+1, base+2)
 
 
 def test_leakage_safe_split_never_splits_a_cluster(spark):

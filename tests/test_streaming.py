@@ -285,3 +285,42 @@ def test_streaming_dedup_gate(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "rej")).count() == n_rej
     idx_rows = spark.read.parquet(str(tmp_path / "idx") + "/hs").count()
     assert idx_rows == n_acc, "index must hold exactly the accepted docs"
+
+
+def test_dedup_gate_chain_rejects_point_at_accepted(spark, tmp_path):
+    """A near-dup chain A~B, B~C (A!~C) inside one batch must keep
+    exactly the cluster canonical and point every reject at an ACCEPTED
+    doc — the pairwise-greedy rule would reject C against the already-
+    rejected B (review finding)."""
+    from polardbx_tools_spark.streaming import start_dedup_stream
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    mid = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a = mid + " one two three"
+    c = mid + " nine ten eleven"          # shares core with mid, less with a
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, a), (2, mid), (3, c)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    q = start_dedup_stream(
+        spark, src, schema,
+        index_path=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+        rejected_dir=str(tmp_path / "rej"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        verify_threshold=0.3,
+    )
+    q.awaitTermination(120)
+
+    acc = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "acc")).collect()}
+    rej = {(r["doc_id"], r["dup_of"])
+           for r in spark.read.parquet(str(tmp_path / "rej")).collect()}
+    # exactly one doc of the connected chain survives, and every reject
+    # maps to an accepted doc
+    assert len(acc) + len(rej) == 3
+    for _, dup_of in rej:
+        assert dup_of in acc, (acc, rej)

@@ -73,10 +73,12 @@ def main() -> None:
     )
     q.awaitTermination()
     if not args.follow:
+        from polardbx_tools_spark.streaming.stream import _fs_exists
+
         acc = spark.read.parquet(args.accepted).count() \
-            if os.path.isdir(args.accepted) else 0
+            if _fs_exists(spark, args.accepted) else 0
         rej = spark.read.parquet(args.rejected).count() \
-            if os.path.isdir(args.rejected) else 0
+            if _fs_exists(spark, args.rejected) else 0
         print(f"done: {acc} accepted, {rej} rejected")
 
 
