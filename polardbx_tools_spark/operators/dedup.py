@@ -664,6 +664,34 @@ class MinHashLshIndex:
         hs.unpersist()
         banded.unpersist()
 
+    def compact(self, target_files: int = 8) -> None:
+        """Fold the per-batch appended files into ``target_files`` per
+        relation (the small-file maintenance the lake's ``compact()``
+        does for data buckets). banded is rewritten repartitioned BY
+        BUCKET — collision lookups then touch a bounded file subset —
+        and deduplicated (crash-replayed appends may have left duplicate
+        band rows; they were correctness-harmless but scan-wasteful).
+
+        OFFLINE maintenance: run it between gate batches, not
+        concurrently with a writer — the swap is two directory renames,
+        not the lake's atomic pointer flip."""
+        import os
+        import shutil
+
+        for rel, cols in (("banded", ["bucket"]), ("hs", ["id"])):
+            cur = f"{self.path}/{rel}"
+            tmp = f"{self.path}/_{rel}_compact"
+            df = self.spark.read.parquet(cur)
+            if rel == "banded":
+                df = df.distinct()
+            df.repartition(target_files, *cols).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            old = f"{self.path}/_{rel}_old"
+            os.rename(cur, old)
+            os.rename(tmp, cur)
+            shutil.rmtree(old)
+
     def pairs_against(
         self,
         new_df: DataFrame,

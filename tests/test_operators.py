@@ -472,3 +472,26 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     assert straddling == 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits == {"train", "val", "test"}
+
+
+def test_minhash_lsh_index_compact_preserves_answers(spark, tmp_path):
+    """Index compaction (small-file fold + banded dedup) must not change
+    any query answer, and must reduce the file count."""
+    import glob
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = dedup.MinHashLshIndex(spark, str(tmp_path / "idx"),
+                                num_hashes=32, bands=8)
+    for lo, hi in ((0, 15), (15, 30), (30, 40)):
+        idx.append(d.filter(f"doc_id >= {lo} and doc_id < {hi}"))
+    tail = d.filter("doc_id >= 40")
+    before = {(r["new_id"], r["corpus_id"], round(r["jaccard"], 6))
+              for r in idx.pairs_against(tail, verify_threshold=0.4).collect()}
+    n_files_before = len(glob.glob(str(tmp_path / "idx" / "banded" / "*.parquet")))
+
+    idx.compact(target_files=2)
+    after = {(r["new_id"], r["corpus_id"], round(r["jaccard"], 6))
+             for r in idx.pairs_against(tail, verify_threshold=0.4).collect()}
+    n_files_after = len(glob.glob(str(tmp_path / "idx" / "banded" / "*.parquet")))
+    assert after == before and len(before) > 0
+    assert n_files_after < n_files_before
