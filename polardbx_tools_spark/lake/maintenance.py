@@ -64,9 +64,7 @@ def compact(
     if drop_tombstones:
         df = df.filter(~F.coalesce(F.col(DELETED), F.lit(False)))
 
-    bucket = F.pmod(
-        F.xxhash64(F.col(snap.bucket_key)), F.lit(snap.bucket_count)
-    ).cast("int")
+    bucket = table.bucket_expr(snapshot=snap)
     next_version = snap.version + 1
     staging = table.staging_dir(next_version)
     n_rows = df.count()
@@ -94,11 +92,13 @@ def compact(
                     for fn in os.listdir(os.path.join(staging, d))
                     if fn.endswith(".parquet")
                 )
-    # expected_version guards against a merge committing between compact's
-    # snapshot read and this commit: without it the compacted file lists
-    # would silently revert the merge's buckets while its offsets stayed
-    # advanced — permanently losing those events. On conflict the caller
-    # just retries compaction against the new snapshot.
+    # expected_version guards the MANIFEST against a merge committing
+    # between compact's snapshot read and this commit (the compacted
+    # file lists would silently revert the merge's buckets while its
+    # offsets stayed advanced). The merge's DATA files are safe
+    # regardless: staging dirs are unique per write attempt (see
+    # LakeTable.staging_dir), so this overwrite can never touch another
+    # writer's files. On conflict the caller just retries compaction.
     table.commit(replaced_buckets=replaced, offsets_updates={},
                  properties={"op": "compact"},
                  expected_version=snap.version)

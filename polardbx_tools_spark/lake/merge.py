@@ -174,9 +174,7 @@ def merge_into(
     # -- 1. per-source-partition batch facts + affected buckets, ONE pass
     # (tiny collect: ≤ #source-partitions rows, each with ≤ bucket_count
     # bucket ids — the only data that ever reaches the driver)
-    bucket = F.pmod(
-        F.xxhash64(F.col(snap.bucket_key)), F.lit(snap.bucket_count)
-    ).cast("int")
+    bucket = table.bucket_expr(snapshot=snap)
     valid = ~invalid_cond if invalid_cond is not None else F.lit(True)
     part_rows = (
         batch.withColumn("_b", F.when(valid, bucket))
@@ -306,10 +304,19 @@ def merge_into(
         F.col(SEQ_PART).desc(),
         F.col("_is_src").asc(),
     )
+    # first-row detection must be its own marker (lag of a constant):
+    # inferring it from prev_key NULLness conflates "first row of the
+    # partition" with "previous row's key value was NULL". Key
+    # comparisons are NULL-SAFE: with plain `!=`, a NULL-keyed row after
+    # a non-NULL key makes the whole OR-chain NULL → rank 2 → the row
+    # silently vanishes from the write; two consecutive NULL-keyed rows
+    # would BOTH rank 1 and both be written. (CdcPipeline quarantines
+    # NULL keys before this point, but merge_into is exported API.)
+    first_row = F.lag(F.lit(1)).over(w).isNull()
     prev_key = [F.lag(F.col(k)).over(w) for k in key_cols]
-    key_change = prev_key[0].isNull()
+    key_change = first_row
     for k, pk in zip(key_cols, prev_key):
-        key_change = key_change | (pk != F.col(k)) | pk.isNull()
+        key_change = key_change | ~pk.eqNullSafe(F.col(k))
     ranked = unioned.withColumn(
         "_rn", F.when(key_change, F.lit(1)).otherwise(F.lit(2))
     )
@@ -350,6 +357,13 @@ def merge_into(
 
         obs = Observation()
         ranked = ranked.observe(obs, *metrics)
+    else:
+        # the metrics agg below re-scans `ranked`: persist BEFORE the
+        # write so the cache fills during the write job — persisting
+        # after it would recompute the whole union+shuffle+window merge
+        # a second time, exactly on the high-partition-count path this
+        # fallback exists for
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
 
     # no second shuffle: rows are already partitioned by (b, salt) and
     # key-sorted from the merge window — the writer fans out to the few
@@ -369,7 +383,6 @@ def merge_into(
                 stats.per_partition[p]["winners"] = int(m[f"w{p}"])
                 stats.per_partition[p]["conflicts"] = int(m[f"c{p}"])
     else:
-        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             row = ranked.agg(*metrics).collect()[0].asDict()
             stats.upserts = int(row["upserts"])

@@ -242,10 +242,19 @@ class LakeTable:
 
     # ---------------------------------------------------------------- read
 
-    def bucket_expr(self, key_col: str | None = None) -> F.Column:
+    def bucket_expr(
+        self, key_col: str | None = None, snapshot: "Snapshot | None" = None
+    ) -> F.Column:
         """Deterministic bucket id of a key column (client-side routing,
-        same role as ``DbUtil.java:386-396``'s ``hash % n``)."""
-        snap = self.snapshot()
+        same role as ``DbUtil.java:386-396``'s ``hash % n``).
+
+        The SINGLE source of truth for bucket routing — every write path
+        (merge, compaction) derives its bucket column here, so the
+        hash/modulus can never silently diverge between paths (divergent
+        copies would scatter rows into buckets the manifests
+        misattribute, breaking bucket pruning). Pass ``snapshot`` to pin
+        an already-read snapshot instead of re-reading the pointer."""
+        snap = snapshot or self.snapshot()
         key = key_col or snap.bucket_key
         return F.pmod(F.xxhash64(F.col(key)), F.lit(snap.bucket_count)).cast("int")
 
@@ -320,16 +329,44 @@ class LakeTable:
         tolerates "already exists" but never alters types).
         """
         cur = self.snapshot().schema
-        names = {f.name for f in cur.fields}
+        cur_types = {f.name: f.dataType for f in cur.fields}
         out = list(cur.fields)
         for f in incoming_payload.fields:
-            if f.name in names:
+            if f.name in cur_types:
+                # enforce, don't just document: a same-name column with a
+                # DIFFERENT type must fail here, before anything commits —
+                # silently accepting it writes files whose physical type
+                # contradicts the manifest schema and the table becomes
+                # unreadable later (at scan time in COW, at merge-on-read
+                # time in MOR), long after the bad batch "succeeded"
+                if f.dataType != cur_types[f.name]:
+                    raise ValueError(
+                        f"schema evolution is additive-only: column "
+                        f"{f.name!r} arrives as {f.dataType.simpleString()} "
+                        f"but the table has "
+                        f"{cur_types[f.name].simpleString()}"
+                    )
                 continue
             out.append(StructField(f.name, f.dataType, nullable=True))
         return StructType(out)
 
     def staging_dir(self, next_version: int) -> str:
-        return os.path.join(self.path, DATA_DIR, f"v{next_version:08d}")
+        """A UNIQUE staging directory per write attempt.
+
+        The version prefix keeps dirs humanly attributable, but the
+        random suffix is load-bearing: two writers racing toward the
+        same next version (merge vs compact, or a writer after a
+        rollback re-using version numbers) must never share a staging
+        path — an ``overwrite`` into a shared ``data/v<next>`` would
+        physically delete the OTHER writer's already-committed files
+        before the commit-time ``expected_version`` guard could reject
+        the manifest. Losers of the commit race leave orphan dirs;
+        ``maintenance.vacuum`` removes them (manifests reference files
+        by path, so unique dir names are invisible to readers)."""
+        return os.path.join(
+            self.path, DATA_DIR,
+            f"v{next_version:08d}-{uuid.uuid4().hex[:8]}",
+        )
 
     def commit(
         self,

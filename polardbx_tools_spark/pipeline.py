@@ -241,7 +241,7 @@ class CdcPipeline:
         sc.setJobGroup(group, f"cdc microbatch {batch_id} (timeout {timeout}s)")
         watchdog.start()
         try:
-            return merge_into(
+            stats_ok = merge_into(
                 self.spark,
                 self.table,
                 df,
@@ -273,6 +273,33 @@ class CdcPipeline:
         finally:
             watchdog.cancel()
             sc.setJobGroup("", "")
+        if fired.is_set():
+            # the watchdog fired while no Spark job was active (the
+            # merge's driver-side tail: file listing, commit), so
+            # cancelJobGroup had nothing to cancel and the batch
+            # COMMITTED. It cannot be quarantined — offsets advanced
+            # atomically with the data — so record the overrun and abort
+            # the RUN instead of silently blowing the budget; a resumed
+            # run continues AFTER this batch via its offsets.
+            os.makedirs(self._errors_dir, exist_ok=True)
+            with open(
+                os.path.join(self._errors_dir, "timeout_batches.jsonl"),
+                "a",
+                encoding="utf-8",
+            ) as f:
+                f.write(json.dumps({
+                    "batch_id": batch_id,
+                    "timeout_sec": timeout,
+                    "committed": True,
+                }) + "\n")
+            raise RuntimeError(
+                f"batch {batch_id} exceeded batch_timeout={timeout}s during "
+                f"its commit tail and had already committed when the "
+                f"watchdog fired; run aborted (overrun recorded at "
+                f"{self._errors_dir}/timeout_batches.jsonl; a resumed run "
+                f"continues AFTER this batch)"
+            )
+        return stats_ok
 
     def run(
         self,

@@ -57,28 +57,34 @@ def make_sessionizer(gap_seconds: int = 300):
         last_ts_us, session_id = (
             state.get if state.exists else (None, 0)
         )
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-            sids = []
-            for t in ts_us:
-                if last_ts_us is not None and t - last_ts_us > gap_us:
-                    session_id += 1
-                last_ts_us = t
-                sids.append(session_id)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": conv_id,
-                        "session_id": pd.array(sids, dtype="int32"),
-                        "turn_idx": pdf["turn_idx"].values,
-                        "ts": pdf["ts"].values,
-                    }
-                )
-            )
+        # a group larger than the Arrow batch size arrives as SEVERAL
+        # chunks in shuffle (arbitrary) order — the gap scan is a
+        # sequential fold over the group's timeline, so the chunks must
+        # be concatenated and sorted ONCE before scanning (sorting each
+        # chunk independently lets last_ts_us move backwards across a
+        # chunk boundary and mis-assigns session ids)
+        chunks = list(pdfs)
+        if not chunks:  # state-timeout invocation carries no data
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "turn_idx"], kind="mergesort"
+        )
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        sids = []
+        for t in ts_us:
+            if last_ts_us is not None and t - last_ts_us > gap_us:
+                session_id += 1
+            last_ts_us = t
+            sids.append(session_id)
         state.update((last_ts_us, session_id))
-        yield from out
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "session_id": pd.array(sids, dtype="int32"),
+                "turn_idx": pdf["turn_idx"].values,
+                "ts": pdf["ts"].values,
+            }
+        )
 
     return fn
 

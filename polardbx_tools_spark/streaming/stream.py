@@ -213,9 +213,11 @@ def start_dedup_stream(
         if seen is not None:
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
         batch_df = batch_df.persist()
+        to_unpersist = [batch_df]
         try:
             # ONE derivation of the batch's shingle/band relations
             hs_new, banded_new = idx._derive(batch_df, text_col, id_col)
+            to_unpersist += [hs_new, banded_new]
             inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
             union = F.size(F.array_union(F.col("hs_a"), F.col("hs_b")))
             jac = (inter / union).cast("double")
@@ -249,6 +251,7 @@ def start_dedup_stream(
                     .agg(F.min("dup_of").alias("dup_of"))
                     .persist()
                 )
+                to_unpersist.append(vs_index)
             else:
                 vs_index = None
             # intra-batch near-dup clusters over the verified pair graph
@@ -280,6 +283,7 @@ def start_dedup_stream(
             )
             rejects = intra if vs_index is None else vs_index.unionByName(intra)
             rejects = rejects.persist()
+            to_unpersist.append(rejects)
             rejected = batch_df.join(rejects, on=id_col, how="inner")
             accepted = batch_df.join(
                 rejects.select(id_col), on=id_col, how="left_anti"
@@ -298,8 +302,12 @@ def start_dedup_stream(
                 f"{idx.path}/hs"
             )
         finally:
-            batch_df.unpersist()
-            spark.catalog.clearCache()
+            # unpersist exactly what this batch persisted — a global
+            # catalog.clearCache() here would evict every cached
+            # DataFrame in the whole session (including the caller's
+            # unrelated cached work) on every microbatch
+            for df_ in to_unpersist:
+                df_.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(apply)

@@ -233,3 +233,35 @@ def test_bucket_pruning_reads_only_affected(spark, tmp_table_path):
     snap1 = pipe.table.snapshot()
     changed = [b for b in snap0.files if snap0.files[b] != snap1.files.get(b)]
     assert changed == [str(stats.affected_buckets[0])]
+
+
+def test_merge_null_key_rows_null_safe(spark, tmp_table_path):
+    """Direct merge_into with NULL-keyed rows (no quarantine guard, as an
+    API caller might): NULL keys must behave as one ordinary key value —
+    exactly one last-writer wins, rows neither vanish (plain != chains
+    evaluate NULL) nor duplicate (review finding)."""
+    from polardbx_tools_spark.lake.merge import merge_into
+    from polardbx_tools_spark.lake.table import LakeTable
+    from polardbx_tools_spark.changelog.generator import transcripts_schema
+
+    rows = [
+        ev("I", "c1", 0, "a", 10, 1),
+        ev("I", "c1", None, "n1", 10, 2),   # NULL key after non-NULL key
+        ev("U", "c1", None, "n2", 20, 3),   # second NULL-key row: later wins
+        ev("I", "c2", None, "m1", 10, 4),
+    ]
+    table = LakeTable.create(
+        tmp_table_path, transcripts_schema(True),
+        bucket_key="conv_id", bucket_count=4,
+        key_cols=("conv_id", "turn_idx"),
+    )
+    merge_into(spark, table, make_df(spark, rows))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in table.read(spark).collect()
+    }
+    assert got == {
+        ("c1", 0): "a",
+        ("c1", None): "n2",   # one winner for the NULL key, the later one
+        ("c2", None): "m1",
+    }

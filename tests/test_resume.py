@@ -71,10 +71,15 @@ def test_crash_between_staging_and_commit_is_invisible(spark, tmp_path, monkeypa
         pass
     monkeypatch.setattr(LakeTable, "commit", real_commit)
 
-    # staged orphan files exist but the snapshot is unchanged
+    # staged orphan files exist but the snapshot is unchanged (staging
+    # dirs carry a unique suffix so racing writers can never collide)
+    import glob as _glob
+
     assert pipe.table.current_version() == v_before
-    staged = os.path.join(p_crash, "data", f"v{v_before + 1:08d}")
-    assert os.path.isdir(staged), "orphan staging dir should exist"
+    staged = _glob.glob(
+        os.path.join(p_crash, "data", f"v{v_before + 1:08d}-*")
+    )
+    assert staged, "orphan staging dir should exist"
 
     pipe3 = CdcPipeline(spark, p_crash, bucket_count=8)
     pipe3.run(cl, batch_lsns=300, with_tool=True)

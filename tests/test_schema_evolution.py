@@ -60,3 +60,27 @@ def test_pre_evolution_rows_read_as_null(spark, tmp_table_path):
     # rows last touched before evolution read tool as NULL (old files
     # never rewritten, scanned with the evolved schema)
     assert df["tool"].isna().any()
+
+
+def test_type_drift_is_rejected_before_commit(spark, tmp_table_path):
+    """A same-name column arriving with a DIFFERENT type must fail at
+    schema-evolution time — before anything commits — instead of being
+    silently skipped and writing files whose physical type contradicts
+    the manifest (review finding)."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4)
+    table = pipe.ensure_table(with_tool=False)
+    drifted = StructType([StructField("turn_idx", StringType(), True)])
+    with _pytest.raises(ValueError, match="additive-only"):
+        table.evolved_schema(drifted)
+    # same-name same-type remains a no-op, new columns still append
+    ok = StructType([
+        StructField("turn_idx", IntegerType(), True),
+        StructField("brand_new", StringType(), True),
+    ])
+    evolved = table.evolved_schema(ok)
+    assert "brand_new" in [f.name for f in evolved.fields]
