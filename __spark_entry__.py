@@ -125,9 +125,12 @@ def _q_sessionize(spark, sf):
     new session when >300s since previous event of the same user."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # microsecond-exact gap: whole-second truncation (unix_timestamp)
+    # disagrees with the oracle's fractional epoch for gaps in
+    # (300, 301) — both sides now compare the same integer micros
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 300), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > 300_000_000), 1).otherwise(0)
     sess = ev.withColumn(
         "session_id", F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -734,8 +737,7 @@ def _q_corpus_curation(spark, sf):
         text.lang_id(F.col("text")).alias("lang"),
         text.token_count(F.col("text")).alias("n_tokens"),
     ).filter((F.col("quality") >= 0.75) & (F.col("lang") == "en"))
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    kept = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    kept = dedup.dedup_exact(scored)  # one definition of exact-dedup
     return kept.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -990,10 +992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_STOP_IN = "('" + "','".join(
-    ("a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
-     "is", "it", "of", "on", "or", "that", "the", "to", "with")
-) + "')"
+# derived from the ONE stopword list the Spark operators use — a
+# hardcoded copy here would silently desynchronize every text_* oracle
+# the moment text.STOPWORDS changes
+_STOP_IN = "('" + "','".join(text.STOPWORDS) + "')"
 
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
@@ -1045,8 +1047,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": """
             WITH g AS (
               SELECT user_id, ts, event_id,
-                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id) > 300
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 300000000
                           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                           THEN 1 ELSE 0 END AS new_sess
               FROM events),

@@ -145,7 +145,14 @@ def frodo_events_to_changelog(events: DataFrame) -> DataFrame:
         F.col("session").alias("conv_id"),
         F.col("convertSqlText").alias("text"),
         F.timestamp_micros(F.col("startTime")).alias("ts"),
-        F.monotonically_increasing_id().alias("source_lsn"),
+        # content-derived LSN, NOT monotonically_increasing_id(): the
+        # merge's idempotent-replay invariant needs the SAME event to get
+        # the SAME (ts, lsn, partition) on every evaluation, and
+        # monotonically_increasing_id changes with partitioning/replay —
+        # equal-startTime events could swap winners between the original
+        # run and a retry. The hash gives an arbitrary but STABLE total
+        # order among same-microsecond events of a session.
+        F.xxhash64("session", "startTime", "convertSqlText").alias("source_lsn"),
         F.pmod(F.xxhash64("session"), F.lit(32)).cast("int").alias("source_partition"),
     )
 
@@ -161,13 +168,19 @@ def fingerprint_udf():
 
     @pandas_udf("string")
     def _fp(texts: "pd.Series") -> "pd.Series":
+        # NULL propagates (str accessors keep NaN; the final map skips
+        # non-strings) — SQL md5(regexp_replace(NULL,...)) is NULL, and
+        # the oracle comparison depends on matching that, not md5('')
         norm = (
-            texts.fillna("")
+            texts
             .str.replace(r"'[^']*'", "?", regex=True)
             .str.replace(r"\b[0-9]+(\.[0-9]+)?\b", "?", regex=True)
             .str.replace(r"\s+", " ", regex=True)
             .str.strip()
         )
-        return norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return norm.map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+            if isinstance(s, str) else None
+        )
 
     return _fp

@@ -57,10 +57,14 @@ def export_csv(
     writer = out
     if file_num:
         # fixed file count: one shuffle; within-file order preserved by
-        # sortWithinPartitions when ordering was requested
+        # sortWithinPartitions when ordering was requested — with the
+        # SAME direction as the requested order (a bare column list here
+        # silently re-sorted descending exports ascending)
         writer = out.repartition(file_num)
         if order_by:
-            writer = writer.sortWithinPartitions(*order_by)
+            writer = writer.sortWithinPartitions(
+                *[F.col(c).desc() if descending else F.col(c) for c in order_by]
+            )
     w = writer.write.option("header", header).option("sep", sep).option(
         "nullValue", null_str
     ).option("emptyValue", "")

@@ -742,7 +742,14 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        # Spark's xxhash64(NULL) is the SEED (42), not NULL — hash only
+        # real tokens, so an empty/NULL doc (explode_outer's single NULL
+        # row) casts zero votes and gets simhash 0, matching the
+        # pure-Python golden oracle (which hashes no tokens at all)
+        "h",
+        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")),
+    )
     votes = [
         F.sum(
             F.when(F.col("h").isNull(), F.lit(0))

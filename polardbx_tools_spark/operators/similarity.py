@@ -148,7 +148,14 @@ def brute_force_topk_np(
                 cand_idx = np.nonzero(mask)[0]
                 if not len(cand_idx):
                     continue
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                # per-batch prune must break cosine TIES by neighbor_id
+                # (the global window's tie-break), not by batch row
+                # position — otherwise a tied candidate with a smaller
+                # id can be dropped here and the final top-k diverges
+                # from the exact baseline/oracle. lexsort: last key is
+                # primary (descending cosine), ids ascending within ties.
+                order = np.lexsort((c_ids[cand_idx], -col[cand_idx]))[:k]
+                top = cand_idx[order]
                 frames.append(pd.DataFrame({
                     "query_id": qid,
                     "neighbor_id": c_ids[top],

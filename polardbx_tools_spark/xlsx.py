@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -76,6 +76,13 @@ def _cell_xml(row: int, col: int, value) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        # NaN/inf are not valid OOXML numerics (<v>nan</v> corrupts the
+        # workbook for Excel); write them as inline strings instead
+        if isinstance(value, float) and (value != value or value in
+                                         (float("inf"), float("-inf"))):
+            return (
+                f'<c r="{ref}" t="inlineStr"><is><t>{value!r}</t></is></c>'
+            )
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return (
         f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
@@ -93,8 +100,11 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
         'spreadsheetml.worksheet+xml"/>'
         for i in range(len(sheet_names))
     )
+    # quoteattr, not escape: escape() leaves double quotes intact, so a
+    # sheet name containing one would break out of the attribute and
+    # produce malformed XML
     wb_sheets = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name={quoteattr(n)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, n in enumerate(sheet_names)
     )
     workbook = (

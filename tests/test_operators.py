@@ -495,3 +495,35 @@ def test_minhash_lsh_index_compact_preserves_answers(spark, tmp_path):
     n_files_after = len(glob.glob(str(tmp_path / "idx" / "banded" / "*.parquet")))
     assert after == before and len(before) > 0
     assert n_files_after < n_files_before
+
+
+def test_simhash_empty_and_null_docs_are_zero(spark):
+    """Empty/NULL documents must get simhash 0 (no votes), matching the
+    pure-Python golden; Spark's xxhash64(NULL)=42 previously leaked the
+    seed's bit pattern in as a phantom token (review finding)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0
+    assert got[4] != 0
+    from tools import make_golden
+    assert got[4] == make_golden.simhash64("real words here")
+
+
+def test_numpy_topk_tie_break_matches_exact(spark):
+    """Duplicate vectors (tied cosines — the normal case in a dedup
+    corpus) must yield the same top-k as the expression baseline: ties
+    break by neighbor_id, not by Arrow-batch row order."""
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, base) for i in range(20)]          # 20 identical vectors
+    rows += [(100 + i, [float(i + 1), 0.0, 0.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    exact = [(r["neighbor_id"], r["rank"])
+             for r in similarity.brute_force_topk(df, q, k=5).collect()]
+    fast = [(r["neighbor_id"], r["rank"])
+            for r in similarity.brute_force_topk_np(df, q, k=5).collect()]
+    assert sorted(exact) == sorted(fast)
+    assert sorted(n for n, _ in fast) == [1, 2, 3, 4, 5]  # smallest tied ids win
