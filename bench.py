@@ -51,17 +51,18 @@ MOR_EVENTS = int(os.environ.get("BENCH_MOR_EVENTS", "1000000"))
 MOR_BATCHES = int(os.environ.get("BENCH_MOR_BATCHES", "8"))
 
 
-def bench_spec() -> ChangelogSpec:
+def bench_spec(n_events: int | None = None) -> ChangelogSpec:
     # sf-bench fixture (FIXTURES.md §3): hot-conversation skew on, dups on
+    n = n_events if n_events is not None else N_EVENTS
     return ChangelogSpec(
-        n_events=N_EVENTS,
-        n_convs=max(1000, N_EVENTS // 20),
+        n_events=n,
+        n_convs=max(1000, n // 20),
         max_turns=16,
         n_source_partitions=32,
         seed=42,
         hot_conv_pct=1,
         hot_event_pct=30,
-        evolution_lsn=N_EVENTS // 2,
+        evolution_lsn=n // 2,
     )
 
 
@@ -259,6 +260,7 @@ def run_query_suite(cpus: int) -> dict[str, float]:
 
 def main() -> None:
     workdir = os.environ.get("BENCH_WORKDIR")
+    owns_workdir = not workdir
     if not workdir:
         # tmpfs if available: removes the VM's virtual-disk IO noise from
         # the measurement (we are benchmarking the engine, not the disk)
@@ -353,7 +355,10 @@ def main() -> None:
     if RUN_SCALING and os.environ.get("BENCH_WRITE_MD") == "1":
         write_bench_md(legs, eff, queries, substrate, xsubstrate, mor)
 
-    shutil.rmtree(workdir, ignore_errors=True)
+    if owns_workdir:
+        # only delete what we created: a user-supplied BENCH_WORKDIR may
+        # hold unrelated data or a changelog cached for reuse
+        shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps(result))
 
 
@@ -365,8 +370,12 @@ def _driver_headline_lines() -> list[str]:
     import re
 
     root = os.path.dirname(os.path.abspath(__file__))
+    # tolerate stray non-numeric matches (BENCH_rerun.json etc.): a
+    # crash here would discard the whole run's output, since this runs
+    # before the final JSON line is printed
     recs = sorted(
-        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        (p for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+         if re.search(r"BENCH_r(\d+)\.json$", p)),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
     if not recs:

@@ -7,8 +7,10 @@
 * S6 DB shard scan: :func:`jdbc_shard_scan` — partitioned
   ``spark.read.jdbc``, the Spark analog of per-physical-shard SELECTs
   with streaming fetch (``worker/util/ExportUtil.java:38-64``,
-  ``util/DataSourceUtil.java:38-42``). Untested here (no DB in the
-  sandbox); the builder is config-only and unit-checked for shape.
+  ``util/DataSourceUtil.java:38-42``). Untestable here (no DB in the
+  sandbox): the builder is config-only — it returns the configured
+  reader WITHOUT calling ``.load()`` (which would attempt a JDBC
+  connection for schema resolution).
 * S7/S9 tails: `streaming.stream.start_cdc_stream`.
 * K8 S3/OSS: any writer/reader takes ``s3a://`` paths directly — no
   custom uploader needed (the reference stages to temp files + putObject,
@@ -40,7 +42,29 @@ def read_xlsx(
         data = rows
     width = len(cols)
     data = [tuple((r + [None] * width)[:width]) for r in data]
-    return spark.createDataFrame(data, cols)
+    # explicit schema from the first non-None value per column (string
+    # where a column is all-None or there are no data rows): Spark's
+    # inference raises on those perfectly ordinary sparse spreadsheets
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, StringType, StructField, StructType,
+    )
+
+    def col_type(i: int):
+        for r in data:
+            v = r[i]
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return BooleanType()
+            if isinstance(v, float):
+                return DoubleType()
+            return StringType()
+        return StringType()
+
+    schema = StructType(
+        [StructField(c, col_type(i), True) for i, c in enumerate(cols)]
+    )
+    return spark.createDataFrame(data, schema)
 
 
 def jdbc_shard_scan(
@@ -58,8 +82,10 @@ def jdbc_shard_scan(
 ):
     """Partitioned JDBC scan builder — per-shard parallel SELECT with
     streaming fetch, projection (ref P1 ``-col``) and predicate pushdown
-    (ref P2 ``-w``). Returns the configured DataFrameReader-born frame;
-    call sites own the connection details."""
+    (ref P2 ``-w``). Returns the configured ``DataFrameReader`` (NOT a
+    DataFrame): call ``.load()`` where a database is reachable —
+    ``.load()`` resolves the schema over a live JDBC connection, which
+    this sandbox cannot make."""
     dbtable = table
     if columns or predicate:
         cols = ", ".join(columns) if columns else "*"

@@ -17,7 +17,10 @@ def main():
 
     spark = get_spark(app_name="cdc-bench-gen", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    generate_changelog(spark, bench_spec()).repartition(64).write.mode(
+    # argv is authoritative — bench_spec defaults to the BENCH_CDC_EVENTS
+    # env, and a standalone caller passing a different count previously
+    # got the env-sized fixture while the print reported the argv number
+    generate_changelog(spark, bench_spec(n_events)).repartition(64).write.mode(
         "overwrite"
     ).parquet(cl_path)
     print("generated", n_events, "events at", cl_path)

@@ -40,6 +40,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if ONLY:
+        unknown = [n for n in ONLY if n not in qs]
+        if unknown:
+            print(f"unknown query name(s): {unknown}; valid: {sorted(qs)}")
+            sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

@@ -60,8 +60,11 @@ def sig_hash(h_base: int, j: int) -> int:
     return _signed(hash_int(SEED + j, hash_long(h_base, 42)))
 
 
-def minhash_lsh_golden(docs: pd.DataFrame) -> pd.DataFrame:
-    rows_per_band = NUM_HASHES // BANDS
+def _sigs_and_sets(
+    docs: pd.DataFrame,
+) -> tuple[dict[int, tuple[int, ...]], dict[int, frozenset[int]]]:
+    """Minhash signatures + hashed shingle sets, derived ONCE per corpus
+    (minhash/clusters/incremental goldens all consume the same pair)."""
     sigs: dict[int, tuple[int, ...]] = {}
     sets: dict[int, frozenset[int]] = {}
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
@@ -70,6 +73,12 @@ def minhash_lsh_golden(docs: pd.DataFrame) -> pd.DataFrame:
         sigs[doc_id] = tuple(
             min(sig_hash(h, j) for h in base) for j in range(NUM_HASHES)
         )
+    return sigs, sets
+
+
+def minhash_lsh_golden(docs: pd.DataFrame) -> pd.DataFrame:
+    rows_per_band = NUM_HASHES // BANDS
+    sigs, sets = _sigs_and_sets(docs)
 
     candidates: set[tuple[int, int]] = set()
     for b in range(BANDS):
@@ -101,14 +110,7 @@ def incremental_golden(docs: pd.DataFrame, split_frac: float = 0.8) -> pd.DataFr
     collisions BETWEEN the two sides, verified with exact Jaccard."""
     split = int(len(docs) * split_frac)
     rows_per_band = NUM_HASHES // BANDS
-    sigs: dict[int, tuple[int, ...]] = {}
-    sets: dict[int, frozenset[int]] = {}
-    for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        base = [xxh64_signed(s, 42) for s in shingles(text)]
-        sets[doc_id] = frozenset(base)
-        sigs[doc_id] = tuple(
-            min(sig_hash(h, j) for h in base) for j in range(NUM_HASHES)
-        )
+    sigs, sets = _sigs_and_sets(docs)
 
     candidates: set[tuple[int, int]] = set()
     for b in range(BANDS):

@@ -44,7 +44,10 @@ def main() -> None:
                          "read time (fold with --compact-every)")
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--with-tool", action="store_true", default=True)
+    ap.add_argument("--with-tool", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="expect the evolved schema (tool column); "
+                         "--no-with-tool for an early-stream changelog")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
