@@ -192,28 +192,28 @@ def _q_projection_filter(spark, sf):
     )
 
 
-def _q_masking_hide(spark, sf):
-    """Hiding + hash masks at export projection (ref P6/P7)."""
+def _q_masking_suite(spark, sf):
+    """All masker/cipher/scalar transforms in one gate entry (ref P6/P7
+    hide+hash masks, MaskType.FLOOR, P8 Caesar CaesarCipher.java:21 and
+    SM4 Sm4Cipher.java:35-55 round-trip, ExportUtil.java:92-96
+    hex()/unhex() round-trip) — consolidated so every entry fits inside
+    the driver gate's 50-query window; each mask stays independently
+    pytest-covered."""
     c = _t(spark, sf, "customer")
+    key = "0123456789abcdeffedcba9876543210"
+    hexed = F.hex(F.encode("c_name", "UTF-8"))
     return c.select(
         "c_custkey",
         masking.mask_hide(F.col("c_name"), 4).alias("masked_name"),
         masking.mask_hash(F.col("c_name"), salt="s1").alias("name_hash"),
+        masking.mask_floor(F.col("c_acctbal"), 100).alias("bal_floor"),
+        masking.caesar(F.col("c_name"), 3).alias("enc"),
+        masking.sm4_decrypt(
+            masking.sm4_encrypt(F.col("c_name"), key), key
+        ).alias("name_rt"),
+        hexed.alias("name_hex"),
+        F.decode(F.unhex(hexed), "UTF-8").alias("name_back"),
     )
-
-
-def _q_masking_floor(spark, sf):
-    """FLOOR mask on numerics (ref MaskType.FLOOR, completed here)."""
-    c = _t(spark, sf, "customer")
-    return c.select(
-        "c_custkey", masking.mask_floor(F.col("c_acctbal"), 100).alias("bal_floor")
-    )
-
-
-def _q_masking_caesar(spark, sf):
-    """Caesar cipher column transform (ref P8: CaesarCipher.java:21)."""
-    c = _t(spark, sf, "customer")
-    return c.select("c_custkey", masking.caesar(F.col("c_name"), 3).alias("enc"))
 
 
 def _q_update_transforms(spark, sf):
@@ -237,19 +237,6 @@ def _q_update_transforms(spark, sf):
     )
 
 
-def _q_masking_sm4_roundtrip(spark, sf):
-    """SM4 cipher parity (ref P8, Sm4Cipher.java:35-55): encrypt+decrypt
-    must round-trip; the oracle is the identity projection."""
-    c = _t(spark, sf, "customer")
-    key = "0123456789abcdeffedcba9876543210"
-    return c.select(
-        "c_custkey",
-        masking.sm4_decrypt(
-            masking.sm4_encrypt(F.col("c_name"), key), key
-        ).alias("name_rt"),
-    )
-
-
 def _q_fingerprint_pandas_udf(spark, sf):
     """Arrow-batched pandas-UDF SQL-template fingerprint (ref P9 frodo
     deparameterizer, Util.java:385-462) — the vectorized-UDF exemplar,
@@ -259,28 +246,6 @@ def _q_fingerprint_pandas_udf(spark, sf):
     ev = _t(spark, sf, "events")
     fp = fingerprint_udf()
     return ev.select("event_id", fp(F.col("props")).alias("template_fp"))
-
-
-def _q_ann_cosine_topk_np(spark, sf):
-    """Numpy/mapInPandas fast path for exact ANN (no SQL oracle: fp
-    summation order differs at the last ulp; equivalence to the
-    expression version is asserted in tests)."""
-    e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 8)
-    return similarity.brute_force_topk_np(e, q, k=5).select(
-        "query_id", "neighbor_id", F.round("cosine", 3).alias("cos_r"),
-        F.col("rank").cast("long").alias("rank"),
-    )
-
-
-def _q_hex_roundtrip(spark, sf):
-    """Binary hex()/unhex() round-trip (ref ExportUtil.java:92-96)."""
-    c = _t(spark, sf, "customer")
-    return c.select(
-        "c_custkey",
-        F.hex(F.encode("c_name", "UTF-8")).alias("name_hex"),
-        F.decode(F.unhex(F.hex(F.encode("c_name", "UTF-8"))), "UTF-8").alias("name_back"),
-    )
 
 
 def _q_shard_routing(spark, sf):
@@ -425,28 +390,29 @@ def _q_topk_orders(spark, sf):
     )
 
 
-def _q_semi_join_urgent_orders(spark, sf):
-    """Left-semi join (EXISTS): orders having at least one late lineitem
-    (q4-shape) — exercises semi-join planning."""
+def _q_semi_anti_join(spark, sf):
+    """Left-semi (EXISTS, q4-shape) and left-anti (NOT EXISTS) join
+    planning in one labelled-union entry: orders with >=1 returned
+    lineitem per priority; customers with no order above a price
+    threshold per segment."""
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    c = _t(spark, sf, "customer")
     late = li.filter(F.col("l_returnflag") == "R")
-    return (
+    semi = (
         o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
-        .agg(F.count("*").cast("long").alias("n_orders"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("semi").alias("join_kind"), F.col("o_orderpriority").alias("grp"), "n")
     )
-
-
-def _q_anti_join_quiet_customers(spark, sf):
-    """Left-anti join: customers with no orders above a price threshold."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    big = o.filter(F.col("o_totalprice") > 100000)
+    anti = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").cast("long").alias("n_customers"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("anti").alias("join_kind"), F.col("c_mktsegment").alias("grp"), "n")
     )
+    return semi.unionByName(anti)
 
 
 def _q_outer_join_order_counts(spark, sf):
@@ -535,6 +501,73 @@ def _q_cdc_lake_roundtrip(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_cdc_multi_table_apply(spark, sf):
+    """Multi-table routed apply (ref: batch-tool `-t t1,t2` table list,
+    cmd/CommandUtil.java; frodo per-event schema, Frodo.java:299-305):
+    ONE mixed changelog routed by its `schema` column to TWO LakeTables
+    in one pass (lake/multi.py) — per-table single-shuffle merges,
+    global offsets committed to every table. Oracle: per-route
+    last-writer-wins SQL, labelled union."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from polardbx_tools_spark.lake.multi import apply_multi_table
+    from polardbx_tools_spark.lake.table import LakeTable
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    ev = _t(spark, sf, "events")
+    changelog = ev.select(
+        F.when(F.col("event_type").isin("view", "click", "error"), "clicks")
+        .otherwise("txns")
+        .alias("schema"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("source_lsn"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-mt-")
+    try:
+        schema = StructType([
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("text", StringType(), True),
+            StructField("ts", TimestampType(), True),
+        ])
+        tables = {
+            name: LakeTable.create(
+                f"{tmp}/{name}", schema, bucket_key="conv_id",
+                bucket_count=8, key_cols=("conv_id", "turn_idx"),
+            )
+            for name in ("clicks", "txns")
+        }
+        apply_multi_table(spark, tables, changelog, batch_id=0)
+        out = None
+        for name in ("clicks", "txns"):
+            part = tables[name].read(spark).select(
+                F.lit(name).alias("tbl"), "conv_id", "turn_idx", "text",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            )
+            out = part if out is None else out.unionByName(part)
+        keep = tempfile.mkdtemp(prefix="cdc-mt-out-")
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        out_path = f"{keep}/state.parquet"
+        out.write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_tumbling_window_counts(spark, sf):
     """Tumbling event-time window aggregation (F.window — the batch twin
     of the streaming windowed agg; ref frodo interval stats,
@@ -577,35 +610,20 @@ def _q_rt_percentiles(spark, sf):
     )
 
 
-def _q_moving_avg(spark, sf):
-    """Rolling window frame: 4-event moving average of value per user
-    (feature-engineering staple for training pipelines)."""
+def _q_window_running_stats(spark, sf):
+    """Rolling + cumulative window frames in one entry: 4-event moving
+    average, running count, and running sum per user (the window-frame
+    operator class; both frames share one shuffle on user_id)."""
     ev = _t(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-3, 0)
-    )
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w4 = ordered.rowsBetween(-3, 0)
+    wcum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("mavg_4"),
-    )
-
-
-def _q_cumulative_events(spark, sf):
-    """Cumulative per-key counters (running count + running sum)."""
-    ev = _t(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.count("*").over(w).cast("long").alias("cum_events"),
-        F.round(F.sum("value").over(w), 4).alias("cum_value"),
+        F.round(F.avg("value").over(w4), 6).alias("mavg_4"),
+        F.count("*").over(wcum).cast("long").alias("cum_events"),
+        F.round(F.sum("value").over(wcum), 4).alias("cum_value"),
     )
 
 
@@ -664,19 +682,15 @@ def _q_range_join_windows(spark, sf):
 
 # ------------------------------------------------- text / training-data
 
-def _q_text_token_count(spark, sf):
+def _q_text_metrics(spark, sf):
+    """Per-doc text analysis bundle: token counts (whitespace + BPE-ish
+    estimate) and quality signals (stopword/punct ratios, mean word
+    length, composite score) — one projection, no shuffle."""
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
         text.bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
-    )
-
-
-def _q_text_quality(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
         F.round(text.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
         F.round(text.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(text.mean_word_len(F.col("text")), 6).alias("mean_wlen"),
@@ -721,7 +735,12 @@ def _q_corpus_split_leakproof(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
     clusters = dedup.duplicate_clusters(pairs)
-    return dedup.leakage_safe_split(d, clusters)
+    # `kept` folds the keep-one-per-cluster funnel end into the same
+    # entry: a doc survives dedup iff it is its cluster's canonical
+    # (min-id) member — docs in no cluster are their own canonical
+    return dedup.leakage_safe_split(d, clusters).withColumn(
+        "kept", (F.col("cluster_id") == F.col("doc_id")).cast("int")
+    )
 
 
 def _q_corpus_curation(spark, sf):
@@ -746,13 +765,15 @@ def _q_corpus_curation(spark, sf):
 
 
 def _q_dedup_exact(spark, sf):
+    """Exact AND normalized content-hash dedup in one entry (labelled
+    union — same schema, both group paths gate-checked)."""
     d = _t(spark, sf, "documents")
-    return dedup.exact_groups(d)
-
-
-def _q_dedup_normalized(spark, sf):
-    d = _t(spark, sf, "documents")
-    return dedup.normalized_groups(d)
+    return (
+        dedup.exact_groups(d).withColumn("kind", F.lit("exact"))
+        .unionByName(
+            dedup.normalized_groups(d).withColumn("kind", F.lit("normalized"))
+        )
+    )
 
 
 def _q_dedup_jaccard_pairs(spark, sf):
@@ -843,26 +864,22 @@ def _q_corpus_sample_stratified(spark, sf):
     )
 
 
-def _q_dedup_keep_canonical(spark, sf):
-    """End of the dedup funnel: the KEPT corpus — every doc that is not a
-    near-duplicate of a lower-id doc (minhash-LSH pairs → connected
-    components → keep cluster_id == doc_id; docs in no cluster survive).
-    Oracle: anti-join against the union-find golden clusters."""
-    d = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
-    clusters = dedup.duplicate_clusters(pairs)
-    drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
-    return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
-
-
 def _q_ann_cosine_topk(spark, sf):
+    """Exact brute-force ANN through BOTH implementations in one
+    labelled-union entry: the pure-expression path and the
+    numpy/mapInPandas fast path. cos rounded to 3 (the np path's fp
+    summation order differs at the last ulp)."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
-    return similarity.brute_force_topk(e, q, k=5).select(
+    cols = lambda df, path: df.select(
+        F.lit(path).alias("path"),
         "query_id",
         "neighbor_id",
-        F.round("cosine", 4).alias("cos_r"),
+        F.round("cosine", 3).alias("cos_r"),
         F.col("rank").cast("long").alias("rank"),
+    )
+    return cols(similarity.brute_force_topk(e, q, k=5), "expr").unionByName(
+        cols(similarity.brute_force_topk_np(e, q, k=5), "np")
     )
 
 
@@ -930,6 +947,12 @@ def _q_embedding_near_dup_pairs(spark, sf):
 # ----------------------------------------------------------------- tables
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # HARD CAP 50: the driver's correctness gate checks only the FIRST
+    # 50 entries (round-3 lesson — entries 51+ get no CORRECTNESS row).
+    # Overlapping single-operator entries are consolidated into labelled
+    # unions (masking_suite, text_metrics, semi_anti_join, ...) so every
+    # registered operator keeps a hard driver signal. Do not grow past
+    # 50 — consolidate instead. tests/test_entry.py pins the cap.
     return {
         "cdc_dedup_last_writer": _q_cdc_dedup_last_writer,
         "cdc_apply_net_state": _q_cdc_apply_net_state,
@@ -938,47 +961,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_parse_json": _q_changelog_parse_json,
         "sessionize": _q_sessionize,
         "cdc_lake_roundtrip": _q_cdc_lake_roundtrip,
+        "cdc_multi_table_apply": _q_cdc_multi_table_apply,
         "tumbling_window_counts": _q_tumbling_window_counts,
         "rt_percentiles": _q_rt_percentiles,
-        "moving_avg": _q_moving_avg,
-        "cumulative_events": _q_cumulative_events,
+        "window_running_stats": _q_window_running_stats,
         "asof_enrich": _q_asof_enrich,
         "range_join_windows": _q_range_join_windows,
         "fingerprint_report": _q_fingerprint_report,
         "rt_histogram": _q_rt_histogram,
         "summary_report": _q_summary_report,
         "projection_filter": _q_projection_filter,
-        "masking_hide": _q_masking_hide,
-        "masking_floor": _q_masking_floor,
-        "masking_caesar": _q_masking_caesar,
-        "masking_sm4_roundtrip": _q_masking_sm4_roundtrip,
+        "masking_suite": _q_masking_suite,
         "update_transforms": _q_update_transforms,
         "fingerprint_pandas_udf": _q_fingerprint_pandas_udf,
-        "ann_cosine_topk_np": _q_ann_cosine_topk_np,
-        "hex_roundtrip": _q_hex_roundtrip,
         "shard_routing": _q_shard_routing,
         "ordered_export": _q_ordered_export,
         "schema_map": _q_schema_map,
         "tpch_q1": _q_tpch_q1,
-        "semi_join_urgent_orders": _q_semi_join_urgent_orders,
-        "anti_join_quiet_customers": _q_anti_join_quiet_customers,
+        "semi_anti_join": _q_semi_anti_join,
         "outer_join_order_counts": _q_outer_join_order_counts,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "rollup_revenue": _q_rollup_revenue,
         "distinct_aggregates": _q_distinct_aggregates,
         "topk_orders": _q_topk_orders,
-        "text_token_count": _q_text_token_count,
-        "text_quality": _q_text_quality,
+        "text_metrics": _q_text_metrics,
         "text_tfidf_top_terms": _q_text_tfidf_top_terms,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep_canonical": _q_dedup_keep_canonical,
         "corpus_sample_stratified": _q_corpus_sample_stratified,
         "corpus_split_leakproof": _q_corpus_split_leakproof,
         "corpus_curation": _q_corpus_curation,
         "dedup_exact": _q_dedup_exact,
-        "dedup_normalized": _q_dedup_normalized,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1078,6 +1092,24 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM r WHERE rn = 1 AND event_type <> 'error'
         """,
+        "cdc_multi_table_apply": """
+            WITH ch AS (
+              SELECT CASE WHEN event_type IN ('view','click','error')
+                          THEN 'clicks' ELSE 'txns' END AS tbl,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 8 AS INTEGER) AS turn_idx,
+                     event_type, ts, event_id,
+                     CAST(user_id % 4 AS INTEGER) AS part
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY tbl, conv_id, turn_idx
+                         ORDER BY ts DESC, event_id DESC, part DESC) AS rn
+              FROM ch)
+            SELECT tbl, conv_id, turn_idx,
+                   event_type AS text,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM r WHERE rn = 1 AND event_type <> 'error'
+        """,
         "tumbling_window_counts": """
             SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
                    event_type,
@@ -1093,14 +1125,10 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value/1000.0, 0.99), 6) AS p99
             FROM events GROUP BY 1
         """,
-        "moving_avg": """
+        "window_running_stats": """
             SELECT event_id, user_id,
                    round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg_4
-            FROM events
-        """,
-        "cumulative_events": """
-            SELECT event_id, user_id,
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg_4,
                    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1164,32 +1192,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_discount >= 0.05 AND l_quantity < 25
         """,
-        "masking_hide": """
+        "masking_suite": """
             SELECT c_custkey,
                    CASE WHEN length(c_name) <= 4 THEN c_name
                         ELSE repeat('*', length(c_name) - 4) ||
                              substr(c_name, length(c_name) - 3) END AS masked_name,
-                   md5(c_name || 's1') AS name_hash
-            FROM customer
-        """,
-        "masking_floor": """
-            SELECT c_custkey,
-                   CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS bal_floor
-            FROM customer
-        """,
-        "hex_roundtrip": """
-            SELECT c_custkey, hex(c_name) AS name_hex, c_name AS name_back
-            FROM customer
-        """,
-        "masking_caesar": """
-            SELECT c_custkey,
+                   md5(c_name || 's1') AS name_hash,
+                   CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS bal_floor,
                    translate(c_name,
                      'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                     'defghijklmnopqrstuvwxyzabcDEFGHIJKLMNOPQRSTUVWXYZABC') AS enc
+                     'defghijklmnopqrstuvwxyzabcDEFGHIJKLMNOPQRSTUVWXYZABC') AS enc,
+                   c_name AS name_rt,
+                   hex(c_name) AS name_hex,
+                   c_name AS name_back
             FROM customer
-        """,
-        "masking_sm4_roundtrip": """
-            SELECT c_custkey, c_name AS name_rt FROM customer
         """,
         "update_transforms": """
             SELECT user_id,
@@ -1224,19 +1240,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'east' END AS area
             FROM nation JOIN region ON n_regionkey = r_regionkey
         """,
-        "semi_join_urgent_orders": """
-            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        "semi_anti_join": """
+            SELECT 'semi' AS join_kind, o_orderpriority AS grp,
+                   CAST(count(*) AS BIGINT) AS n
             FROM orders
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-            GROUP BY 1
-        """,
-        "anti_join_quiet_customers": """
-            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            GROUP BY 2
+            UNION ALL
+            SELECT 'anti' AS join_kind, c_mktsegment AS grp,
+                   CAST(count(*) AS BIGINT) AS n
             FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey AND o_totalprice > 100000)
-            GROUP BY 1
+            GROUP BY 2
         """,
         "outer_join_order_counts": """
             SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
@@ -1311,13 +1328,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 5
         """,
-        "text_token_count": f"""
-            SELECT doc_id,
-                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-                   CAST(ceil(length(text) / 4.0) AS INTEGER) AS bpe_tokens
-            FROM documents
-        """,
-        "text_quality": f"""
+        "text_metrics": f"""
             WITH t AS (
               SELECT doc_id,
                      {_TOKS} AS toks,
@@ -1326,6 +1337,8 @@ def oracle_sql() -> dict[str, str]:
                      length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct
               FROM documents)
             SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   CAST(ceil(n_chars / 4.0) AS INTEGER) AS bpe_tokens,
                    round(CASE WHEN len(toks_l) > 0
                          THEN len(list_filter(toks_l, x -> x IN {_STOP_IN})) * 1.0 / len(toks_l)
                          ELSE 0.0 END, 6) AS stop_ratio,
@@ -1381,15 +1394,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    CASE WHEN (cluster_id % 4294967296) * 1048573 % 4294967296 % 100 < 80 THEN 'train'
                         WHEN (cluster_id % 4294967296) * 1048573 % 4294967296 % 100 < 90 THEN 'val'
-                        ELSE 'test' END AS split
+                        ELSE 'test' END AS split,
+                   CAST(cluster_id = doc_id AS INTEGER) AS kept
             FROM assigned
-        """,
-        "dedup_keep_canonical": """
-            SELECT d.doc_id
-            FROM documents d
-            LEFT JOIN read_parquet('/root/repo/tests/golden/dedup_clusters.sf0.01.parquet') c
-              ON d.doc_id = c.doc_id AND c.cluster_id <> c.doc_id
-            WHERE c.doc_id IS NULL
         """,
         "corpus_sample_stratified": f"""
             WITH t AS (
@@ -1447,16 +1454,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(quality), 6) AS avg_quality
             FROM k WHERE rn = 1
         """,
-        "dedup_exact": """
+        "dedup_exact": f"""
             SELECT md5(text) AS content_hash,
                    min(doc_id) AS canonical_id,
-                   CAST(count(*) AS BIGINT) AS n_docs
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   'exact' AS kind
             FROM documents GROUP BY 1
-        """,
-        "dedup_normalized": f"""
+            UNION ALL
             SELECT md5({_NORM}) AS content_hash,
                    min(doc_id) AS canonical_id,
-                   CAST(count(*) AS BIGINT) AS n_docs
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   'normalized' AS kind
             FROM documents GROUP BY 1
         """,
         "dedup_jaccard_pairs": f"""
@@ -1516,27 +1524,15 @@ def oracle_sql() -> dict[str, str]:
                      (sqrt(list_sum(list_transform(q.q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
                       sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
               FROM embeddings c CROSS JOIN q
-              WHERE c.vec_id <> q.query_id)
-            SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-            WHERE rank <= 5
-        """,
-        "ann_cosine_topk_np": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
-                       FROM embeddings WHERE vec_id < 8),
-            scored AS (
-              SELECT q.query_id, c.vec_id AS neighbor_id,
-                     list_sum(list_transform(list_zip(q.q_vec, c.embedding),
-                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-                     (sqrt(list_sum(list_transform(q.q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
-                      sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
-              FROM embeddings c CROSS JOIN q
-              WHERE c.vec_id <> q.query_id)
-            SELECT query_id, neighbor_id, round(cosine, 3) AS cos_r, rank
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-            WHERE rank <= 5
+              WHERE c.vec_id <> q.query_id),
+            topk AS (
+              SELECT query_id, neighbor_id, round(cosine, 3) AS cos_r, rank
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+              WHERE rank <= 5)
+            SELECT 'expr' AS path, * FROM topk
+            UNION ALL
+            SELECT 'np' AS path, * FROM topk
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),

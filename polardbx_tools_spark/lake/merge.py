@@ -127,6 +127,7 @@ def merge_into(
     expected_version: int | None = None,
     invalid_cond: F.Column | None = None,
     mode: str = "cow",
+    extra_offsets: dict[int, int] | None = None,
 ) -> MergeStats:
     """Apply one changelog microbatch to the table, committing new data
     files + advanced offsets in a single atomic snapshot.
@@ -157,6 +158,12 @@ def merge_into(
     each key run wins, the same sort clusters the write. The only
     difference is whether the target's rows join the union and whether
     the commit replaces bucket file lists or appends to their deltas.
+
+    ``extra_offsets`` (source_partition -> lsn) are max-merged into the
+    committed offsets — the multi-table router passes the GLOBAL mixed-
+    batch offsets here so every routed table records the full consumed
+    window even for partitions whose events all went to other tables
+    (see :mod:`polardbx_tools_spark.lake.multi`).
     """
     t0 = time.time()
     debug = os.environ.get("MERGE_DEBUG") == "1"
@@ -212,15 +219,18 @@ def merge_into(
     }
     mark("stats_agg")
     if stats.batch_events == 0:
-        # still advance offsets over an all-invalid window
-        if stats.invalid_events and stats.per_partition:
-            table.commit(
+        # still advance offsets over an all-invalid window — and over a
+        # window whose events all routed to OTHER tables (extra_offsets)
+        empty_offsets = {p: v["max_lsn"] for p, v in stats.per_partition.items()}
+        for p, lsn in (extra_offsets or {}).items():
+            empty_offsets[p] = max(int(lsn), empty_offsets.get(p, -(1 << 62)))
+        if empty_offsets:
+            committed = table.commit(
                 replaced_buckets={},
-                offsets_updates={
-                    p: v["max_lsn"] for p, v in stats.per_partition.items()
-                },
+                offsets_updates=empty_offsets,
                 expected_version=expected_version,
             )
+            stats.committed_version = committed.version
         stats.wall_ms = int((time.time() - t0) * 1000)
         return stats
     if invalid_cond is not None:
@@ -414,6 +424,8 @@ def merge_into(
     # early-return path above). Filtering to v["events"] here would re-read
     # and re-quarantine those events on every resume.
     offsets_updates = {p: v["max_lsn"] for p, v in stats.per_partition.items()}
+    for p, lsn in (extra_offsets or {}).items():
+        offsets_updates[p] = max(int(lsn), offsets_updates.get(p, -(1 << 62)))
     committed = table.commit(
         replaced_buckets=staged if mode == "cow" else {},
         appended_deltas=staged if mode == "mor" else None,

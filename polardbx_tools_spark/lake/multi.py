@@ -1,0 +1,149 @@
+"""Multi-table CDC apply: route ONE mixed changelog to N lake tables.
+
+The reference moves several tables per run — batch-tool's ``-t t1,t2``
+table list (``cmd/CommandUtil.java`` table-list handling) and frodo
+events carrying their ``schema`` (``Frodo.java:299-305``) — while this
+engine's changelog always had a routing column (P12 schema remap) but
+merged everything into one table. This module closes that gap: one pass
+over the mixed batch fans out to per-table ``merge_into`` calls.
+
+Exactly-once across tables
+--------------------------
+Offsets live INSIDE each table's snapshot commit (the engine invariant),
+but one mixed batch now produces N commits — a crash can land BETWEEN
+table A's commit and table B's. The protocol makes that safe:
+
+* every routed table commits the GLOBAL per-source-partition offsets of
+  the mixed batch (``merge_into(extra_offsets=...)``), not just the
+  offsets of its own slice — so a table that saw zero events for
+  partition 3 still records partition 3 as consumed;
+* the resume point is the PER-PARTITION MIN across all tables
+  (:func:`resume_offsets`) — any table that missed the crash-split
+  batch drags the window back over it;
+* re-applying the window is a per-table no-op for tables that already
+  committed it (the merge's total order makes replay idempotent).
+
+Net effect: exactly-once end-to-end without a cross-table transaction —
+the same shape Kafka-connect sinks use (per-sink offsets + idempotent
+writes), and stronger than the reference, which replays through INSERT
+IGNORE with no offset ledger at all.
+
+Scale posture: routing is a filter per table over the same batch scan
+(predicate pushdown prunes parquet row groups per table); the mixed
+batch is cached once so N tables don't re-read the source N times; the
+global-offset aggregate is one tiny groupBy (≤ #partitions rows). Each
+per-table merge keeps the single-shuffle plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from polardbx_tools_spark.lake.merge import (
+    KEY_COLS,
+    LSN_COL,
+    PART_COL,
+    MergeStats,
+    merge_into,
+)
+from polardbx_tools_spark.lake.table import LakeTable
+
+SCHEMA_COL = "schema"
+
+
+@dataclass
+class MultiApplyStats:
+    per_table: dict[str, MergeStats] = field(default_factory=dict)
+    unknown_events: int = 0
+    global_offsets: dict[int, int] = field(default_factory=dict)
+
+
+def resume_offsets(tables: dict[str, LakeTable]) -> dict[int, int]:
+    """Cross-table resume point: per-partition MIN of committed offsets.
+
+    A partition missing from ANY table's ledger resumes from scratch for
+    safety (that table has never recorded consuming it); since every
+    routed commit carries the global offsets, this only happens before
+    the first batch or for a table created mid-stream.
+    """
+    per_table = [t.offsets() for t in tables.values()]
+    if not per_table:
+        return {}
+    all_parts = set().union(*[set(o) for o in per_table])
+    out: dict[int, int] = {}
+    for p in all_parts:
+        vals = [o[p] for o in per_table if p in o]
+        if len(vals) == len(per_table):  # known to every table
+            out[p] = min(vals)
+        # else: at least one table never saw partition p -> no floor,
+        # the window replays it (idempotent per-table)
+    return out
+
+
+def apply_multi_table(
+    spark: SparkSession,
+    tables: dict[str, LakeTable],
+    batch: DataFrame,
+    batch_id: int = 0,
+    key_cols: tuple[str, ...] = KEY_COLS,
+    schema_col: str = SCHEMA_COL,
+    mode: str = "cow",
+    on_unknown: str = "error",
+    cache: bool = True,
+) -> MultiApplyStats:
+    """Apply one mixed changelog microbatch to every routed table.
+
+    ``batch`` = normal merge batch columns + ``schema_col`` naming the
+    destination table (a key of ``tables``). ``on_unknown``: 'error'
+    raises if any event routes nowhere; 'ignore' drops them (their LSNs
+    still advance the global offsets — consumed-but-skipped, the same
+    contract as quarantine).
+    """
+    if on_unknown not in ("error", "ignore"):
+        raise ValueError(f"on_unknown must be 'error'|'ignore', got {on_unknown!r}")
+    stats = MultiApplyStats()
+    if cache:
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # one tiny pass: per-(schema, partition) facts -> global offsets
+        # + unknown-route count (≤ #tables × #source-partitions rows)
+        known = set(tables)
+        facts = (
+            batch.groupBy(F.col(schema_col).alias("_s"), F.col(PART_COL))
+            .agg(F.max(LSN_COL).alias("max_lsn"), F.count("*").alias("n"))
+            .collect()
+        )
+        for r in facts:
+            if r[PART_COL] is not None and r["max_lsn"] is not None:
+                p = int(r[PART_COL])
+                stats.global_offsets[p] = max(
+                    int(r["max_lsn"]), stats.global_offsets.get(p, -(1 << 62))
+                )
+            if r["_s"] not in known:
+                stats.unknown_events += int(r["n"])
+        if stats.unknown_events and on_unknown == "error":
+            samples = sorted({str(r["_s"]) for r in facts if r["_s"] not in known})[:5]
+            raise ValueError(
+                f"{stats.unknown_events} events route to unknown table(s) "
+                f"{samples}; pass on_unknown='ignore' to consume-and-skip"
+            )
+        # deterministic apply order (dict order is caller-controlled but
+        # sorting makes crash-window tests reproducible)
+        for name in sorted(tables):
+            stats.per_table[name] = merge_into(
+                spark,
+                tables[name],
+                batch.filter(F.col(schema_col) == name).drop(schema_col),
+                batch_id=batch_id,
+                key_cols=key_cols,
+                mode=mode,
+                extra_offsets=stats.global_offsets,
+            )
+        return stats
+    finally:
+        if cache:
+            batch.unpersist()
