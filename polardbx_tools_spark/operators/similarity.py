@@ -524,6 +524,71 @@ def lsh_sign_mask(vec: Column, dim: int, n_bits: int, seed: int = 42) -> Column:
     )
 
 
+def _mask_np_scan(
+    df: DataFrame,
+    dim: int,
+    n_bits: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    with_norm: bool,
+) -> DataFrame:
+    """(id, vec[, _norm], _m) via ONE numpy pass over Arrow batches —
+    the vectorized twin of ``select(id, vec, l2_norm, lsh_sign_mask)``.
+
+    The expression form pays twice per call: ~0.4 s of analyzer time on
+    the ~60 KB plane literal per select (round-4 profile) plus
+    interpreted higher-order folds (n_bits x dim multiply-adds per row).
+    Here the planes ride a closure and the dots are one vectorized pass.
+
+    BIT-PARITY with the expression form (and therefore with the SQL
+    oracles that replay it) is preserved by replaying its float
+    semantics exactly: plane dots widen each float32 component to
+    float64 then multiply-add in index order (zip_with fold); the norm
+    squares in FLOAT32 first (l2_norm's ``(x*x).cast(double)``) and
+    accumulates the widened squares in index order. Sign/bucket
+    equality is exact, asserted in tests/test_golden_oracles.py."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if n_bits > 62:
+        raise ValueError("np sign-mask path supports at most 62 bits")
+    in_fields = {f.name: f for f in df.schema.fields}
+    fields = [in_fields[id_col], in_fields[vec_col]]
+    if with_norm:
+        fields.append(StructField("_norm", DoubleType(), True))
+    fields.append(StructField("_m", LongType(), True))
+    out_schema = StructType(fields)
+    planes64 = np.array(
+        [_hyperplane(dim, p, seed) for p in range(n_bits)], dtype=np.float64
+    )  # [n_bits, dim]
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v32 = np.stack(pdf[vec_col].map(np.asarray).values)
+            v64 = v32.astype(np.float64)
+            acc = np.zeros((len(pdf), planes64.shape[0]), dtype=np.float64)
+            for e in range(dim):  # sequential fold == zip_with sum order
+                acc += v64[:, e, None] * planes64[None, :, e]
+            mask = ((acc > 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            if with_norm:
+                sq64 = (v32 * v32).astype(np.float64)  # square in f32 first
+                nacc = np.zeros(len(pdf), dtype=np.float64)
+                for e in range(dim):
+                    nacc += sq64[:, e]
+                out["_norm"] = np.sqrt(nacc)
+            out["_m"] = mask
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(compute, out_schema)
+
+
 def _banded_by_mask(
     df: DataFrame,
     dim: int,
@@ -546,19 +611,33 @@ def _banded_by_mask(
 
     ``widen``: round-robin repartition the input to the session's core
     count before the mask projection IFF its scan has fewer splits —
-    the mask is the compute-heavy step (n_bits interpreted dots/row)
-    and a small parquet arrives as one split, serializing it. At real
-    scale the scan has splits >> cores and this is a no-op (no exchange
-    added), so the corpus never pays a shuffle for it."""
+    the mask is the compute-heavy step (n_bits dots/row) and a small
+    parquet arrives as one split, serializing it. At real scale the
+    scan has splits >> cores and this is a no-op (no exchange added),
+    so the corpus never pays a shuffle for it.
+
+    The mask+norm projection runs through :func:`_mask_np_scan` (one
+    vectorized Arrow pass, bit-parity asserted in tests) when the bit
+    width allows; wider masks fall back to the expression form."""
     if widen:
         df = _widen_scan(df)
     n_bits = n_planes * n_tables
-    masked = df.select(
-        F.col(id_col).alias(id_alias),
-        F.col(vec_col).alias("_v"),
-        *([l2_norm(F.col(vec_col)).alias(norm_alias)] if norm_alias else []),
-        lsh_sign_mask(F.col(vec_col), dim, n_bits, seed).alias("_m"),
-    )
+    if n_bits <= 62:
+        masked = _mask_np_scan(
+            df, dim, n_bits, seed, id_col, vec_col, with_norm=bool(norm_alias)
+        ).select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias("_v"),
+            *([F.col("_norm").alias(norm_alias)] if norm_alias else []),
+            "_m",
+        )
+    else:
+        masked = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias("_v"),
+            *([l2_norm(F.col(vec_col)).alias(norm_alias)] if norm_alias else []),
+            lsh_sign_mask(F.col(vec_col), dim, n_bits, seed).alias("_m"),
+        )
     keep = (
         [id_alias]
         + ([vec_alias] if vec_alias else [])
@@ -798,56 +877,114 @@ def pq_topk(
     books = fit_pq_codebooks(
         [list(r[vec_col]) for r in rows], m, ks, seed, n_iters
     )
-    cb, cn2 = _pq_literals(books)
 
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_codes(F.col(vec_col), cb, m, ks, dsub).alias("codes"),
-    )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            l2_norm(F.col(vec_col)).alias("q_norm"),
         )
     )
 
-    # ADC per (code-row, query): index-ordered fold over subspaces of
-    # dot(q_sub_j, centroid[j][code_j]); approx |x~| from the literal
-    # centroid norms. m element_at lookups + m*dsub multiplies per pair.
-    j_seq = F.sequence(F.lit(1), F.lit(m))
-    adc_dot = F.aggregate(
-        j_seq,
-        F.lit(0.0),
-        lambda acc, j: acc + F.aggregate(
-            F.zip_with(
-                F.slice(F.col("q_vec"), (j - 1) * dsub + 1, F.lit(dsub)),
-                F.element_at(
-                    F.element_at(cb, j), F.element_at(F.col("codes"), j)
-                ),
-                lambda x, y: (x * y).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda a2, v: a2 + v,
-        ),
+    # ENCODE + ADC in ONE numpy pass over Arrow batches of the corpus,
+    # with a per-batch top-``refine`` prune — only ``queries x refine``
+    # candidates per batch reach the shuffle (the brute_force_topk_np
+    # discipline; round-3 finding: the former JVM ADC fed ALL
+    # |corpus| x |queries| scores through the global shortlist window,
+    # so at 10^10 rows the SHUFFLE — not the compressed scan — became
+    # the bottleneck; the JVM higher-order-function encode was also the
+    # dominant per-row cost at ~m*ks*dsub interpreted ops). Scoring is
+    # per-query LOOKUP TABLES (the classic PQ trick).
+    #
+    # Bit-parity with the SQL oracle is preserved by replaying its fold
+    # orders exactly in float64: the encode d2 accumulates (x-c)^2
+    # element-by-element in index order with first-min tie-break
+    # (np.argmin == array_position-of-min), lut[q][j][c] accumulates
+    # q_sub*centroid in the zip_with order, the ADC and approx-norm
+    # sums accumulate over j in order, and q_norm uses the same
+    # sequential fold (_fold_norm). Ties in the per-batch prune break
+    # by neighbor_id ASC — the global window's tie-break — so pruning
+    # can never change the final shortlist membership.
+    #
+    # NOTE on persisted codes: a production corpus would materialize
+    # ``pq_codes`` once (the m-byte column IS the 32x-compressed scan)
+    # and feed the codes relation here; this operator encodes inline
+    # because the gate tables carry raw vectors only.
+    import numpy as np
+
+    q_rows = sorted(
+        queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
     )
-    an2 = F.aggregate(
-        j_seq,
-        F.lit(0.0),
-        lambda acc, j: acc + F.element_at(
-            F.element_at(cn2, j), F.element_at(F.col("codes"), j)
-        ),
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    nq = len(q_rows)
+    luts = np.zeros((nq, m, ks), dtype=np.float64)
+    for qi, r in enumerate(q_rows):
+        qv = [float(x) for x in r[vec_col]]
+        for j in range(m):
+            acc = np.zeros(ks, dtype=np.float64)
+            for e in range(dsub):  # sequential fold == SQL zip_with sum
+                acc += qv[j * dsub + e] * books[j][:, e]
+            luts[qi, j] = acc
+    cn2_arr = np.array(
+        [[sum(float(x) * float(x) for x in c) for c in book] for book in books],
+        dtype=np.float64,
+    )  # identical arithmetic to the cn2 literal
+    q_norms = np.array(
+        [_fold_norm([float(x) for x in r[vec_col]]) for r in q_rows],
+        dtype=np.float64,
+    )
+    books64 = np.asarray(books, dtype=np.float64)  # [m, ks, dsub]
+    sc = corpus.sparkSession.sparkContext
+    b_lut = sc.broadcast((q_ids, luts, cn2_arr, q_norms, books64))
+
+    def encode_and_score(batches):
+        import pandas as pd
+
+        ids_b, lut_b, cn2_b, qn_b, bk = b_lut.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            n = len(c_ids)
+            # encode: per subspace, sequential-fold d2 to every centroid,
+            # first-min code (same arithmetic order as the SQL oracle)
+            cmat = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                d2 = np.zeros((n, ks), dtype=np.float64)
+                for e in range(dsub):
+                    diff = v[:, j * dsub + e, None] - bk[j, None, :, e]
+                    d2 += diff * diff
+                cmat[:, j] = np.argmin(d2, axis=1)
+            frames = []
+            for qi, qid in enumerate(ids_b):
+                acc = np.zeros(n, dtype=np.float64)
+                an2 = np.zeros(n, dtype=np.float64)
+                for j in range(m):  # sequential over subspaces == SQL fold
+                    cj = cmat[:, j]
+                    acc += lut_b[qi, j, cj]
+                    an2 += cn2_b[j, cj]
+                adc = acc / (qn_b[qi] * np.sqrt(an2))
+                cand = np.nonzero(c_ids != qid)[0]
+                if not len(cand):
+                    continue
+                order = np.lexsort((c_ids[cand], -adc[cand]))[:refine]
+                top = cand[order]
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": c_ids[top],
+                    "adc": adc[top],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = _widen_scan(corpus.select(id_col, vec_col)).mapInPandas(
+        encode_and_score, "query_id long, neighbor_id long, adc double"
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id")
     )
     shortlist = (
-        codes.join(q, F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            (adc_dot / (F.col("q_norm") * F.sqrt(an2))).alias("adc"),
-        )
-        .withColumn("srank", F.row_number().over(w_short))
+        partial.withColumn("srank", F.row_number().over(w_short))
         .filter(F.col("srank") <= refine)
         .select("query_id", "neighbor_id")
     )
