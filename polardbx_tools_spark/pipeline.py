@@ -312,6 +312,7 @@ class CdcPipeline:
         rate_factor: float | None = None,
         monitor: bool = False,
         compact_every: int | None = None,
+        compact_deltas_over: int | None = None,
         circle: int = 1,
         batch_timeout: float | None = None,
     ) -> RunResult:
@@ -336,6 +337,13 @@ class CdcPipeline:
         MonitorThread (``thread/MonitorThread.java:35-114``).
         ``compact_every`` compacts the table after every N batches
         (steady-state file-count control for long tails).
+        ``compact_deltas_over`` is the merge-on-read DELTA-PRESSURE
+        trigger: after each batch, any bucket holding more than this
+        many delta files is selectively compacted
+        (``maintenance.compact_if_needed``) — bounds read amplification
+        on a long MOR tail without rewriting cold buckets. Typical:
+        ``CdcPipeline(..., merge_mode="mor")`` +
+        ``run(compact_deltas_over=8)``.
 
         ``circle`` replays the whole changelog ``circle`` times (frodo
         ``--circle``, ``frodo/README.md:144-145``): passes after the
@@ -421,6 +429,15 @@ class CdcPipeline:
                     from polardbx_tools_spark.lake.maintenance import compact
 
                     compact(self.spark, self.table)
+                if compact_deltas_over:
+                    from polardbx_tools_spark.lake.maintenance import (
+                        compact_if_needed,
+                    )
+
+                    compact_if_needed(
+                        self.spark, self.table,
+                        max_delta_files=compact_deltas_over,
+                    )
                 lo, batch_id = hi, batch_id + 1
                 if stop_after_batches is not None and result.batches >= stop_after_batches:
                     result.circles = pass_i + 1

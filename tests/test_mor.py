@@ -196,6 +196,49 @@ def test_mor_deltas_tracked_and_cleared(spark, tmp_table_path):
     assert pipe.read_transcripts().count() == n
 
 
+def test_mor_delta_pressure_compaction_bounds_read_tax(spark, tmp_path):
+    """Long MOR tail with the delta-pressure trigger: without it, every
+    bucket's delta list grows ~one file per touching batch (unbounded
+    read-side merge, the round-3 scale wart); with
+    ``run(compact_deltas_over=K)`` the backlog is folded whenever a
+    bucket crosses K delta files, so a reader merges at most ~K deltas
+    per bucket at ANY point in the tail — and the final state is
+    byte-identical to the untriggered run."""
+    from polardbx_tools_spark.changelog.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    cl = generate_changelog(
+        spark, ChangelogSpec(n_events=1200, n_convs=30, max_turns=8, seed=11)
+    )
+    K = 4
+    pipes = {}
+    for name, kwargs in (("plain", {}), ("trig", {"compact_deltas_over": K})):
+        pipe = CdcPipeline(
+            spark, str(tmp_path / name), bucket_count=4, merge_mode="mor"
+        )
+        pipe.run(cl, batch_lsns=50, **kwargs)  # 24 microbatches
+        pipes[name] = pipe
+    plain, trig = pipes["plain"].table.snapshot(), pipes["trig"].table.snapshot()
+    max_plain = max(len(v) for v in plain.deltas.values())
+    assert max_plain > 2 * K, f"fixture tail too short: {max_plain}"
+    max_trig = max((len(v) for v in trig.deltas.values()), default=0)
+    assert max_trig <= K, (
+        f"delta backlog must stay bounded by the trigger, got {max_trig}: "
+        f"{ {b: len(v) for b, v in trig.deltas.items()} }"
+    )
+    # compaction must not disturb state, offsets, or resume invariants
+    a = sorted(map(tuple, pipes["plain"].read_transcripts().collect()))
+    b = sorted(map(tuple, pipes["trig"].read_transcripts().collect()))
+    assert a == b
+    assert pipes["plain"].table.offsets() == pipes["trig"].table.offsets()
+    # replaying the full changelog over the compacted table is a no-op
+    r = pipes["trig"].run(cl, batch_lsns=10**9)
+    assert r.events_applied == 0
+    assert sorted(map(tuple, pipes["trig"].read_transcripts().collect())) == a
+
+
 def test_mor_read_uses_window_group_limit(spark, tmp_table_path):
     """The read-side merge must plan as row_number + WindowGroupLimit:
     Spark's rank-limit pushdown keeps only the top-1 row per key BEFORE

@@ -1,0 +1,148 @@
+"""Multi-table routed apply (lake/multi.py): one mixed changelog fanned
+out by its ``schema`` column to N lake tables in one pass, offsets
+exactly-once across tables.
+
+Reference parity: batch-tool moves a TABLE LIST per run (``-t t1,t2``,
+cmd/CommandUtil.java) and frodo events carry their schema
+(Frodo.java:299-305); the engine previously merged everything into one
+table (round-3 "What's missing" #2).
+"""
+
+import pandas as pd
+
+from polardbx_tools_spark.changelog.generator import (
+    ChangelogSpec,
+    generate_changelog,
+)
+from polardbx_tools_spark.lake.merge import merge_into
+from polardbx_tools_spark.lake.multi import apply_multi_table, resume_offsets
+from polardbx_tools_spark.lake.table import LakeTable
+from oracle import normalize, replay_oracle
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAYLOAD = ["conv_id", "turn_idx", "text", "ts"]
+SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("text", StringType(), True),
+    StructField("ts", TimestampType(), True),
+])
+
+
+def _mixed_changelog(spark, n_events=1500, seed=5):
+    cl = generate_changelog(
+        spark, ChangelogSpec(n_events=n_events, n_convs=40, max_turns=8, seed=seed)
+    ).drop("tool")
+    return cl.withColumn(
+        "schema",
+        F.when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, "alpha").otherwise("beta"),
+    )
+
+
+def _make_tables(tmp_path, names=("alpha", "beta")):
+    return {
+        n: LakeTable.create(
+            str(tmp_path / n), SCHEMA, bucket_key="conv_id",
+            bucket_count=4, key_cols=("conv_id", "turn_idx"),
+        )
+        for n in names
+    }
+
+
+def _oracle_for(mixed_pdf, name):
+    part = mixed_pdf[mixed_pdf["schema"] == name].drop(columns=["schema"])
+    return normalize(replay_oracle(part, PAYLOAD), PAYLOAD)
+
+
+def test_routed_state_equals_per_table_oracle(spark, tmp_path):
+    mixed = _mixed_changelog(spark)
+    tables = _make_tables(tmp_path)
+    st = apply_multi_table(spark, tables, mixed, batch_id=0)
+    pdf = mixed.toPandas()
+    for name, t in tables.items():
+        got = normalize(t.read(spark).toPandas(), PAYLOAD)
+        want = _oracle_for(pdf, name)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every table records the GLOBAL consumed window, not just its slice
+    for t in tables.values():
+        assert t.offsets() == st.global_offsets
+    assert st.unknown_events == 0
+
+
+def test_crash_between_table_commits_converges(spark, tmp_path):
+    """Kill/restart across the multi-table commit seam: batch 2 lands on
+    table alpha only (crash before beta's commit). The cross-table
+    resume point regresses to the pre-batch offsets, the window replays
+    to BOTH tables, and the final states equal the full-stream oracle —
+    alpha absorbing its duplicate batch as a no-op."""
+    cl_all = _mixed_changelog(spark, n_events=1600, seed=9)
+    mid = 800
+    b0 = cl_all.filter(F.col("source_lsn") < mid)
+    b1 = cl_all.filter(F.col("source_lsn") >= mid)
+    tables = _make_tables(tmp_path)
+    st0 = apply_multi_table(spark, tables, b0, batch_id=0)
+
+    # crash-split second batch: alpha commits, beta never does
+    g1 = {
+        int(r["source_partition"]): int(r["max_lsn"])
+        for r in b1.groupBy("source_partition").agg(
+            F.max("source_lsn").alias("max_lsn")
+        ).collect()
+    }
+    merge_into(
+        spark, tables["alpha"],
+        b1.filter(F.col("schema") == "alpha").drop("schema"),
+        batch_id=1, extra_offsets=g1,
+    )
+    ro = resume_offsets(tables)
+    # beta's ledger drags every partition back to the pre-crash window
+    assert ro == st0.global_offsets
+
+    # restart: replay everything past the resume point to both tables
+    floor = F.lit(-(1 << 62)).cast("long")
+    pairs = []
+    for p, lsn in ro.items():
+        pairs += [F.lit(p), F.lit(lsn)]
+    committed = F.coalesce(
+        F.create_map(*pairs)[F.col("source_partition")], floor
+    )
+    replay = cl_all.filter(F.col("source_lsn") > committed)
+    apply_multi_table(spark, tables, replay, batch_id=2)
+
+    pdf = cl_all.toPandas()
+    for name, t in tables.items():
+        got = normalize(t.read(spark).toPandas(), PAYLOAD)
+        want = _oracle_for(pdf, name)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    for t in tables.values():
+        assert t.offsets() == {
+            int(r["source_partition"]): int(r["max_lsn"])
+            for r in cl_all.groupBy("source_partition").agg(
+                F.max("source_lsn").alias("max_lsn")
+            ).collect()
+        }
+
+
+def test_unknown_route_rejected_or_consumed(spark, tmp_path):
+    mixed = _mixed_changelog(spark, n_events=400, seed=3).withColumn(
+        "schema", F.lit("nope")
+    )
+    tables = _make_tables(tmp_path)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown table"):
+        apply_multi_table(spark, tables, mixed, batch_id=0)
+    # consume-and-skip: offsets advance, no rows land anywhere
+    st = apply_multi_table(spark, tables, mixed, batch_id=0, on_unknown="ignore")
+    assert st.unknown_events == 400
+    for t in tables.values():
+        assert t.read(spark).count() == 0
+        assert t.offsets() == st.global_offsets
