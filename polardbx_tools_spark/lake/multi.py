@@ -147,3 +147,62 @@ def apply_multi_table(
     finally:
         if cache:
             batch.unpersist()
+
+
+def run_multi_table(
+    spark: SparkSession,
+    tables: dict[str, LakeTable],
+    changelog: DataFrame,
+    batch_lsns: int = 10_000_000,
+    key_cols: tuple[str, ...] = KEY_COLS,
+    schema_col: str = SCHEMA_COL,
+    mode: str = "cow",
+    on_unknown: str = "error",
+    monitor: bool = False,
+) -> list[MultiApplyStats]:
+    """LSN-windowed batch loop over a mixed changelog (the multi-table
+    analog of ``CdcPipeline.run``'s core): resume from the cross-table
+    min offsets, window by LSN, route each window with
+    :func:`apply_multi_table`. Restart-safe: a crash anywhere replays
+    the open window into every table idempotently.
+
+    (Single-table extras — quarantine budget, pacing, circle replay —
+    stay on :class:`~polardbx_tools_spark.pipeline.CdcPipeline`; route a
+    pre-validated changelog here.)"""
+    max_lsn = changelog.agg(F.max(LSN_COL)).collect()[0][0]
+    if max_lsn is None:
+        return []
+    floor = F.lit(-(1 << 62)).cast("long")
+    ro = resume_offsets(tables)
+    if ro:
+        pairs: list = []
+        for p, lsn in ro.items():
+            pairs += [F.lit(p), F.lit(lsn)]
+        committed = F.coalesce(F.create_map(*pairs)[F.col(PART_COL)], floor)
+    else:
+        committed = floor
+    todo = changelog.filter(F.col(LSN_COL) > committed)
+    out: list[MultiApplyStats] = []
+    lo, batch_id = 0, 0
+    while lo <= max_lsn:
+        hi = lo + batch_lsns
+        window = todo.filter((F.col(LSN_COL) >= lo) & (F.col(LSN_COL) < hi))
+        st = apply_multi_table(
+            spark, tables, window, batch_id=batch_id,
+            key_cols=key_cols, schema_col=schema_col, mode=mode,
+            on_unknown=on_unknown,
+        )
+        if st.global_offsets:
+            out.append(st)
+            if monitor:
+                applied = sum(
+                    s.upserts + s.deletes for s in st.per_table.values()
+                )
+                print(
+                    f"[multi b{batch_id}] tables={len(st.per_table)} "
+                    f"merged={applied} unknown={st.unknown_events} "
+                    f"progress={min(100, 100 * hi // (max_lsn + 1))}%",
+                    flush=True,
+                )
+        lo, batch_id = hi, batch_id + 1
+    return out

@@ -191,51 +191,69 @@ def cosine_near_dup_pairs(
     self-join carries IDS ONLY; vectors are joined back once for the
     surviving distinct candidates.
 
-    The (id, t, bucket) relation is persisted: the self-join is a
-    diamond (both sides scan it), so persisting runs the per-row
-    hyperplane sign mask (:func:`lsh_sign_mask` — the only expensive
-    expression) exactly once per corpus row. The cache is
-    MEMORY_AND_DISK and ~20 B per (row, table); it lives until the
-    session ends or ``spark.catalog.clearCache()`` — callers running
-    many operators in one long session should clear it after consuming
-    the result (the relation is derived; rebuilding costs one scan)."""
-    from pyspark.storagelevel import StorageLevel
+    Physical shape (round-4): BUCKET-LOCAL PAIRWISE scoring — one
+    shuffle of (id, vec) keyed by (table, bucket), then each bucket
+    group scores its own pairs in a vectorized Arrow pass and emits
+    only the survivors; a pair colliding in several tables scores
+    identically each time, so ``max()`` dedups without a join-back
+    (the :func:`lsh_topk` discipline). This shuffles
+    ``rows x n_tables`` vector rows — at near-dup workloads the
+    CANDIDATE PAIR count dwarfs that, so the former ids-only self-join
+    + per-pair verify join moved strictly more data AND paid an
+    interpreted fold per pair (round-4 profile: the verify dominated at
+    ~3 s). Quadratic work inside a skewed bucket is inherent to any
+    LSH self-join; widen ``n_planes`` to cap bucket sizes.
+
+    Cosine values replay the former expression form bit-for-bit
+    (f32 products widened then summed in index order, f32-squared
+    norms), so the SQL-literal oracle keeps matching."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = {f.name: f for f in df.schema.fields}[id_col]
+    out_schema = StructType([
+        StructField("id_a", id_field.dataType, True),
+        StructField("id_b", id_field.dataType, True),
+        StructField("cosine", DoubleType(), True),
+    ])
+
+    def score_bucket(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({k: [] for k in ("id_a", "id_b", "cosine")})
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        v32 = np.stack(pdf["v"].map(np.asarray).values)[order]
+        d = v32.shape[1]
+        acc = np.zeros((n, n), dtype=np.float64)
+        for e in range(d):  # f32 product widened, summed in index order
+            acc += (v32[:, e, None] * v32[None, :, e]).astype(np.float64)
+        sq64 = (v32 * v32).astype(np.float64)
+        nacc = np.zeros(n, dtype=np.float64)
+        for e in range(d):
+            nacc += sq64[:, e]
+        nrm = np.sqrt(nacc)
+        cos = acc / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "cosine": cos[ia[keep], ib[keep]],
+        })
 
     banded = _banded_by_mask(
-        df, dim, n_planes, n_tables, seed, id_col, vec_col, "id", None,
+        df, dim, n_planes, n_tables, seed, id_col, vec_col, "id", "v",
         widen=True,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.select(F.col("id").alias("id_a"), "t", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "t", "bucket")
-    cand = (
-        a.join(b, on=["t", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nv"),  # once per VECTOR, not per pair
     )
     return (
-        cand.join(
-            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                        F.col("nv").alias("n_a")),
-            on="id_a",
-        )
-        .join(
-            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                        F.col("nv").alias("n_b")),
-            on="id_b",
-        )
-        .select(
-            "id_a", "id_b",
-            cosine_with_norms(
-                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        banded.groupBy("t", "bucket")
+        .applyInPandas(score_bucket, out_schema)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 
