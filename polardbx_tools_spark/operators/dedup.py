@@ -341,9 +341,22 @@ def ngram_jaccard_pairs(
     """EXACT all-pairs character-n-gram Jaccard (the char-level twin of
     :func:`jaccard_pairs`): every (id_a < id_b) pair whose distinct
     n-gram sets overlap >= threshold. Same size-ratio equi-join pruning
-    — no nested loop; big vocab by nature, so always the generic path."""
+    — no nested loop; big vocab by nature, so always the generic path.
+
+    Grams are hashed to int64 before the pair verify (sorted-long
+    intersects instead of ~n-char string intersects — the same
+    exact-modulo-64-bit-collisions contract as the minhash verify,
+    :func:`minhash_lsh_pairs`); set sizes and therefore jaccard values
+    are unchanged absent a collision."""
     base = df.select(
-        F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("ws")
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    char_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("ws"),
     )
     return _jaccard_pairs_generic(base, threshold)
 

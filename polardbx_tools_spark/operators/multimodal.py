@@ -2,10 +2,12 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark side — schemas, partitioning, batch shapes, UDF signatures —
-is real and tested; the codec inner loop is STUBBED (image/audio libs
-are not in this container): ``decode_fn=None`` uses a deterministic fake
-decoder so the distributed plumbing can be exercised end-to-end, and a
-real deployment passes e.g. a PIL/libsndfile-backed ``decode_fn``.
+is real and tested. The codec inner loop is REAL for the formats the
+standard library can decode — WAV (stdlib ``wave``), BMP and binary PPM
+(manual header parse) via :mod:`.codecs` — and falls back to a
+deterministic hash feature for formats that need external libs
+(JPEG/PNG/MP4): ``decode_fn``/``resize_fn`` hooks accept e.g. a
+PIL/libsndfile-backed implementation in deployment.
 """
 
 from __future__ import annotations
@@ -62,7 +64,9 @@ def extract_features(
     never per-row Python in the Spark plan). Partitioning is inherited —
     repartition upstream by size if payloads are skewed.
     """
-    fn = decode_fn or (lambda p: _fake_decode(p, feature_dim))
+    from polardbx_tools_spark.operators import codecs
+
+    fn = decode_fn or (lambda p: codecs.feature_vector(p, feature_dim))
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -92,13 +96,14 @@ def resize_images(
     target_h: int,
     resize_fn: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
-    """Image resize pass-through (same schema out). Real codec required
-    in deployment; stub raises on real use to avoid silent garbage."""
+    """Image resize (same schema out): decode -> nearest-neighbor ->
+    re-encode via the stdlib codecs for BMP/PPM payloads; payloads in a
+    format without a stdlib codec raise (never silent garbage) — pass a
+    deployment ``resize_fn`` for JPEG/PNG."""
     if resize_fn is None:
-        def resize_fn(payload: bytes, w: int, h: int) -> bytes:  # pragma: no cover
-            raise NotImplementedError(
-                "image codec not available in this container — pass resize_fn"
-            )
+        from polardbx_tools_spark.operators import codecs
+
+        resize_fn = codecs.resize_image
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -123,6 +128,48 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(stamps).alias("frame_ms"),
         F.lit(None).cast("binary").alias("frame_payload"),  # stub: codec absent
     )
+
+
+def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic fixture with REAL decodable payloads: BMP images
+    (gradient patterns), PCM WAV audio (sine bursts), and opaque bytes
+    for the video rows (no stdlib video codec — the honest fallback
+    path). Generated distributed via mapInPandas, derived only from
+    media_id + seed."""
+    base = synthetic_media(spark, n, seed)
+
+    def attach(batches):
+        import numpy as np
+
+        from polardbx_tools_spark.operators import codecs
+
+        for pdf in batches:
+            payloads, mimes = [], []
+            for mid, kind in zip(pdf["media_id"], pdf["kind"]):
+                rng_a = int(mid) * 2654435761 % 251 + 1
+                if kind == "image":
+                    yy, xx = np.mgrid[0:16, 0:16]
+                    rgb = np.stack(
+                        [(xx * rng_a) % 256, (yy * rng_a) % 256,
+                         ((xx + yy) * rng_a) % 256], axis=-1
+                    ).astype(np.uint8)
+                    payloads.append(codecs.encode_bmp(rgb))
+                    mimes.append("image/bmp")
+                elif kind == "audio":
+                    t = np.arange(800) / 8000.0
+                    payloads.append(codecs.encode_wav(
+                        0.5 * np.sin(2 * np.pi * (100 + rng_a) * t), 8000
+                    ))
+                    mimes.append("audio/wav")
+                else:
+                    payloads.append(b"opaque-video-" + bytes([rng_a]) * 8)
+                    mimes.append("video/mp4")
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf["mime"] = mimes
+            yield pdf
+
+    return base.mapInPandas(attach, schema=MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

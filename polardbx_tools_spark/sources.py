@@ -104,3 +104,78 @@ def jdbc_shard_scan(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader
+
+
+def shard_topology(
+    logical_table: str,
+    db_count: int,
+    tables_per_db: int,
+    db_template: str = "{db}_{i:04d}",
+    table_template: str = "{table}_{j:02d}",
+    logical_db: str = "db",
+) -> list[tuple[str, str]]:
+    """Enumerate the physical (database, table) pairs behind a logical
+    sharded table — the client-side topology walk the reference performs
+    before fanning out per-shard SELECTs (``BaseShardedConsumer``'s
+    physical-table loop; naming templates are deployment config). Pure
+    function: drives the per-shard readers and is testable without a
+    database."""
+    return [
+        (
+            db_template.format(db=logical_db, i=i),
+            table_template.format(table=logical_table, j=i * tables_per_db + j),
+        )
+        for i in range(db_count)
+        for j in range(tables_per_db)
+    ]
+
+
+def shard_predicates(column: str, n_shards: int) -> list[str]:
+    """One mutually-exclusive, collectively-exhaustive predicate per
+    shard over a hash-routed column — the ``predicates=`` form of
+    ``spark.read.jdbc`` (one executor partition per physical shard, no
+    lower/upper bound needed; NULLs ride shard 0). Matches the engine's
+    ``pmod(hash, n)`` routing (ref DbUtil.java:386-396)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    out = [f"MOD(ABS(CRC32({column})), {n_shards}) = {k}" for k in range(n_shards)]
+    out[0] = f"({out[0]} OR {column} IS NULL)"
+    return out
+
+
+def jdbc_sharded_readers(
+    spark: SparkSession,
+    url_template: str,
+    logical_table: str,
+    db_count: int,
+    tables_per_db: int,
+    fetch_size: int = 10_000,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+    **topology_kwargs,
+):
+    """One configured JDBC reader per PHYSICAL shard (url_template takes
+    ``{db}``): ``union_all(r.load() for r in readers)`` where a database
+    is reachable — each physical table scans in parallel with projection
+    + predicate pushed into its SELECT. Config-only in this sandbox
+    (same contract as :func:`jdbc_shard_scan`)."""
+    readers = []
+    for db, tbl in shard_topology(
+        logical_table, db_count, tables_per_db, **topology_kwargs
+    ):
+        dbtable = tbl
+        if columns or predicate:
+            cols = ", ".join(columns) if columns else "*"
+            where = f" WHERE {predicate}" if predicate else ""
+            dbtable = f"(SELECT {cols} FROM {tbl}{where}) AS shard_scan"
+        r = (
+            spark.read.format("jdbc")
+            .option("url", url_template.format(db=db))
+            .option("dbtable", dbtable)
+            .option("fetchsize", str(fetch_size))
+        )
+        for k, v in (properties or {}).items():
+            r = r.option(k, v)
+        readers.append(r)
+    return readers

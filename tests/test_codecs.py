@@ -1,0 +1,91 @@
+"""Pure-stdlib media codecs (operators/codecs.py): WAV/BMP/PPM
+round-trips, nearest-neighbor resize, deterministic feature routing.
+No SparkSession needed — these run before the cluster-side tests."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from polardbx_tools_spark.operators import codecs
+
+
+def _gradient(h=16, w=16):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([xx * 7 % 256, yy * 11 % 256, (xx + yy) * 13 % 256],
+                    axis=-1).astype(np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    rgb = _gradient()
+    payload = codecs.encode_bmp(rgb)
+    assert codecs.sniff(payload) == "bmp"
+    back = codecs.decode_bmp(payload)
+    np.testing.assert_array_equal(back, rgb)
+
+
+def test_bmp_odd_width_stride_padding():
+    rgb = _gradient(5, 7)  # 7*3=21 bytes/row -> stride 24, padding real
+    back = codecs.decode_bmp(codecs.encode_bmp(rgb))
+    np.testing.assert_array_equal(back, rgb)
+
+
+def test_ppm_roundtrip_exact():
+    rgb = _gradient(9, 13)
+    payload = codecs.encode_ppm(rgb)
+    assert codecs.sniff(payload) == "ppm"
+    np.testing.assert_array_equal(codecs.decode_ppm(payload), rgb)
+
+
+def test_ppm_comment_header():
+    rgb = _gradient(2, 2)
+    raw = codecs.encode_ppm(rgb)
+    commented = b"P6\n# a comment\n2 2\n255\n" + raw.split(b"255\n", 1)[1]
+    np.testing.assert_array_equal(codecs.decode_ppm(commented), rgb)
+
+
+def test_wav_roundtrip_close():
+    t = np.arange(1600) / 8000.0
+    x = 0.4 * np.sin(2 * np.pi * 440 * t)
+    payload = codecs.encode_wav(x, 8000)
+    assert codecs.sniff(payload) == "wav"
+    back, rate = codecs.decode_wav(payload)
+    assert rate == 8000 and back.shape == (1600, 1)
+    assert np.max(np.abs(back[:, 0] - x)) < 1e-3  # 16-bit quantization
+
+
+def test_wav_features_shape_and_determinism():
+    payload = codecs.encode_wav(np.sin(np.arange(800) / 10.0), 8000)
+    f1, f2 = codecs.wav_features(payload), codecs.wav_features(payload)
+    assert f1 == f2 and len(f1) == 8
+    assert f1[0] == pytest.approx(0.1)  # 800 samples @ 8 kHz
+    assert 0 < f1[1] < 1  # rms of a sine
+
+
+def test_resize_nearest_and_reencode():
+    rgb = _gradient(16, 16)
+    small = codecs.resize_image(codecs.encode_bmp(rgb), 4, 4)
+    out = codecs.decode_bmp(small)
+    assert out.shape == (4, 4, 3)
+    # corner pixel maps exactly (nearest-neighbor determinism)
+    np.testing.assert_array_equal(out[0, 0], rgb[0, 0])
+    pp = codecs.resize_image(codecs.encode_ppm(rgb), 8, 2)
+    assert codecs.sniff(pp) == "ppm" and codecs.decode_ppm(pp).shape == (2, 8, 3)
+
+
+def test_feature_vector_routes_by_magic():
+    img = codecs.feature_vector(codecs.encode_bmp(_gradient()), dim=8)
+    wavf = codecs.feature_vector(codecs.encode_wav(np.zeros(80), 8000), dim=8)
+    unknown = codecs.feature_vector(b"\x89PNG-not-really", dim=8)
+    assert img[:2] == [16.0, 16.0]  # w, h lead the image features
+    assert wavf[0] == pytest.approx(0.01)  # duration leads audio features
+    assert len(unknown) == 8 and unknown == codecs.feature_vector(
+        b"\x89PNG-not-really", dim=8
+    )
+
+
+def test_unsupported_resize_raises():
+    with pytest.raises(ValueError):
+        codecs.resize_image(b"\xff\xd8\xff\xe0 jpeg-ish", 4, 4)

@@ -158,6 +158,35 @@ def test_update_transforms(spark):
     assert out[1]["r"] is None and out[1]["d"] == -6.0
 
 
+def test_multimodal_real_codecs_end_to_end(spark):
+    """REAL stdlib decode through the distributed path: BMP images and
+    PCM WAV audio rows get real features (dimensions / duration lead
+    the vector), video rows take the deterministic hash fallback, and
+    the default resize round-trips decodable images to the target
+    shape — all inside mapInPandas, no external codec libs."""
+    from polardbx_tools_spark.operators import codecs
+
+    media = multimodal.synthetic_media_real(spark, n=12)
+    rows = {r["media_id"]: r for r in
+            multimodal.extract_features(media, feature_dim=8).collect()}
+    kinds = {r["media_id"]: r["kind"] for r in media.select("media_id", "kind").collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        if kinds[mid] == "image":
+            assert r["feat"][0] == 16.0 and r["feat"][1] == 16.0  # w, h
+        elif kinds[mid] == "audio":
+            assert abs(r["feat"][0] - 0.1) < 1e-6  # 800 samples @ 8 kHz
+        else:  # video: deterministic hash fallback
+            assert len(r["feat"]) == 8
+    # default resize_fn decodes + nearest-neighbor resizes real images
+    imgs = media.filter("kind = 'image'")
+    out = multimodal.resize_images(imgs, 4, 3).collect()
+    assert out and all(
+        codecs.decode_image(bytes(r["payload"])).shape == (3, 4, 3) for r in out
+    )
+    assert all(r["width"] == 4 and r["height"] == 3 for r in out)
+
+
 def test_multimodal_resize_and_frame_sample_plumbing(spark):
     """resize/frame-sample Spark plumbing with a deterministic fake
     codec: schema preserved, metadata rewritten, frame positions are
