@@ -568,6 +568,68 @@ def _q_cdc_multi_table_apply(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_cdc_incremental_read(spark, sf):
+    """The table AS a changelog SOURCE (Iceberg incremental-read parity,
+    LakeTable.incremental_changes): apply two LSN batches, then read
+    ONLY the rows changed by batch 2 — file-level diff of the two
+    snapshots filtered to sequence numbers above batch 1's offsets, so
+    cost ∝ change volume, not table size. Oracle: global last-writer-
+    wins winners whose winning LSN falls in the second batch, deletes
+    labelled; exact integer mid so both engines split identically."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from polardbx_tools_spark.lake.merge import merge_into
+    from polardbx_tools_spark.lake.table import LakeTable
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    ev = _t(spark, sf, "events")
+    changelog = ev.select(
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("source_lsn"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
+    )
+    mid = changelog.agg((F.floor(F.max("source_lsn") / 2)).cast("long")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc-inc-")
+    try:
+        schema = StructType([
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("text", StringType(), True),
+            StructField("ts", TimestampType(), True),
+        ])
+        table = LakeTable.create(f"{tmp}/t", schema, bucket_key="conv_id",
+                                 bucket_count=8,
+                                 key_cols=("conv_id", "turn_idx"))
+        merge_into(spark, table, changelog.filter(F.col("source_lsn") <= mid), 0)
+        v1 = table.current_version()
+        merge_into(spark, table, changelog.filter(F.col("source_lsn") > mid), 1)
+        inc = table.incremental_changes(spark, from_version=v1).select(
+            "conv_id", "turn_idx", "text",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "_change_type",
+        )
+        keep = tempfile.mkdtemp(prefix="cdc-inc-out-")
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        out_path = f"{keep}/changes.parquet"
+        inc.write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_tumbling_window_counts(spark, sf):
     """Tumbling event-time window aggregation (F.window — the batch twin
     of the streaming windowed agg; ref frodo interval stats,
@@ -962,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "cdc_lake_roundtrip": _q_cdc_lake_roundtrip,
         "cdc_multi_table_apply": _q_cdc_multi_table_apply,
+        "cdc_incremental_read": _q_cdc_incremental_read,
         "tumbling_window_counts": _q_tumbling_window_counts,
         "rt_percentiles": _q_rt_percentiles,
         "window_running_stats": _q_window_running_stats,
@@ -1091,6 +1154,27 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS text,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM r WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_incremental_read": """
+            WITH ch AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 8 AS INTEGER) AS turn_idx,
+                     event_type, ts, event_id,
+                     CAST(user_id % 4 AS INTEGER) AS part
+              FROM events),
+            mid AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS m FROM events),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                         ORDER BY ts DESC, event_id DESC, part DESC) AS rn
+              FROM ch)
+            SELECT conv_id, turn_idx,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE event_type END AS text,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        ELSE 'upsert' END AS _change_type
+            FROM r CROSS JOIN mid
+            WHERE rn = 1 AND event_id > mid.m
         """,
         "cdc_multi_table_apply": """
             WITH ch AS (
