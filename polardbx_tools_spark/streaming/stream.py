@@ -77,6 +77,87 @@ def start_cdc_stream(
     return writer.start()
 
 
+def start_multi_table_cdc_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    table_paths: dict[str, str],
+    checkpoint_dir: str,
+    bucket_count: int = 16,
+    schema_col: str = "schema",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    fmt: str = "parquet",
+    merge_mode: str = "cow",
+    on_unknown: str = "ignore",
+) -> StreamingQuery:
+    """Multi-table CDC tail: one mixed changelog stream routed by its
+    ``schema_col`` to N lake tables per microbatch — the streaming shape
+    of :func:`polardbx_tools_spark.lake.multi.apply_multi_table`
+    (reference: batch-tool's ``-t t1,t2`` + frodo per-event schema,
+    continuously).
+
+    Exactly-once composition is three layers deep: Spark's checkpoint
+    tracks consumed files; each microbatch is pre-filtered by the
+    CROSS-TABLE min committed offsets (so a replayed batch skips what
+    every table already holds); and the per-table idempotent merges
+    absorb the crash-split remainder (a batch committed to table A but
+    not B replays into both, A no-ops). ``on_unknown='ignore'`` is the
+    tail default — an unroutable event is consumed-and-skipped like a
+    quarantined row, never stalls the stream; pass 'error' to stop on
+    routing bugs."""
+    from polardbx_tools_spark.lake.merge import LSN_COL, PART_COL
+    from polardbx_tools_spark.lake.multi import (
+        apply_multi_table,
+        resume_offsets,
+    )
+    from polardbx_tools_spark.lake.table import LakeTable
+
+    from pyspark.sql.types import StructType as _St
+
+    meta = {"op", LSN_COL, PART_COL, schema_col}
+    payload = _St([f for f in schema.fields if f.name not in meta])
+    tables: dict[str, LakeTable] = {}
+    for name, path in table_paths.items():
+        t = LakeTable(path)
+        tables[name] = t if t.exists() else LakeTable.create(
+            path, payload, bucket_key=key_cols[0],
+            bucket_count=bucket_count, key_cols=key_cols,
+        )
+
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+
+    def apply(batch_df, batch_id: int) -> None:
+        ro = resume_offsets(tables)
+        if ro:
+            pairs: list = []
+            for p, lsn in ro.items():
+                pairs += [F.lit(p), F.lit(lsn)]
+            committed = F.coalesce(
+                F.create_map(*pairs)[F.col(PART_COL)],
+                F.lit(-(1 << 62)).cast("long"),
+            )
+            batch_df = batch_df.filter(F.col(LSN_COL) > committed)
+        apply_multi_table(
+            spark, tables, batch_df, batch_id=batch_id,
+            key_cols=key_cols, schema_col=schema_col,
+            mode=merge_mode, on_unknown=on_unknown,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_windowed_counts_stream(
     spark: SparkSession,
     source_dir: str,

@@ -131,6 +131,68 @@ def test_crash_between_table_commits_converges(spark, tmp_path):
         }
 
 
+def test_streaming_multi_table_tail(spark, tmp_path):
+    """Streaming shape: a mixed changelog tail routed to two tables per
+    microbatch. Drain → per-table state equals the replay oracle; a new
+    file landing + restart from the same checkpoint applies only the
+    tail; a FULL replay from a fresh checkpoint is a no-op (offsets +
+    idempotent merges)."""
+    from polardbx_tools_spark.streaming import start_multi_table_cdc_stream
+
+    cl = _mixed_changelog(spark, n_events=1200, seed=17)
+    src = str(tmp_path / "src")
+    first = cl.filter(F.col("source_lsn") < 900)
+    later = cl.filter(F.col("source_lsn") >= 900)
+    first.write.mode("overwrite").parquet(src)
+
+    paths = {"alpha": str(tmp_path / "alpha"), "beta": str(tmp_path / "beta")}
+    kwargs = dict(
+        spark=spark, source_dir=src, schema=first.schema,
+        table_paths=paths, bucket_count=4,
+        max_files_per_trigger=2, available_now=True,
+    )
+    q = start_multi_table_cdc_stream(
+        checkpoint_dir=str(tmp_path / "ckpt"), **kwargs
+    )
+    q.awaitTermination(120)
+    tables = {n: LakeTable(p) for n, p in paths.items()}
+    pdf_first = first.toPandas()
+    for name, t in tables.items():
+        got = normalize(t.read(spark).toPandas(), PAYLOAD)
+        pd.testing.assert_frame_equal(
+            got, _oracle_for(pdf_first, name), check_dtype=False
+        )
+
+    # tail grows; SAME checkpoint resumes and applies only the new file
+    later.write.mode("append").parquet(src)
+    q2 = start_multi_table_cdc_stream(
+        checkpoint_dir=str(tmp_path / "ckpt"), **kwargs
+    )
+    q2.awaitTermination(120)
+    pdf_all = cl.toPandas()
+    versions_after = {n: t.current_version() for n, t in tables.items()}
+    for name, t in tables.items():
+        got = normalize(t.read(spark).toPandas(), PAYLOAD)
+        pd.testing.assert_frame_equal(
+            got, _oracle_for(pdf_all, name), check_dtype=False
+        )
+
+    # FULL replay from a fresh checkpoint: offsets filter + idempotent
+    # merges -> state unchanged
+    q3 = start_multi_table_cdc_stream(
+        checkpoint_dir=str(tmp_path / "ckpt2"), **kwargs
+    )
+    q3.awaitTermination(120)
+    for name, t in tables.items():
+        got = normalize(t.read(spark).toPandas(), PAYLOAD)
+        pd.testing.assert_frame_equal(
+            got, _oracle_for(pdf_all, name), check_dtype=False
+        )
+        # observable no-op: the offsets pre-filter emptied every window,
+        # so the replay committed NO new snapshot
+        assert t.current_version() == versions_after[name]
+
+
 def test_unknown_route_rejected_or_consumed(spark, tmp_path):
     mixed = _mixed_changelog(spark, n_events=400, seed=3).withColumn(
         "schema", F.lit("nope")
