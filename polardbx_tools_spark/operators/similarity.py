@@ -770,6 +770,119 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+class EmbeddingLshIndex:
+    """Persistent multi-table-LSH EMBEDDING index — the vector-side twin
+    of :class:`~polardbx_tools_spark.operators.dedup.MinHashLshIndex`:
+    "does this incoming batch of embeddings near-duplicate the corpus?"
+    without re-bucketing the corpus per batch.
+
+    Two parquet relations under ``path``:
+
+    * ``banded/`` — (id, t, bucket)   sign-mask buckets (candidate side)
+    * ``vecs/``   — (id, v, nv)       vectors + hoisted norms (verify side)
+
+    ``append(batch)`` derives + appends (cost ∝ batch);
+    ``pairs_against(new)`` returns (new_id, corpus_id, cosine >=
+    threshold) with candidates from bucket collisions and a norm-hoisted
+    exact-cosine verify — corpus cost is a columnar scan of two narrow
+    relations, never a re-mask. Crash contract mirrors the minhash
+    index: ``banded`` is written BEFORE ``vecs`` and consumers treat
+    presence in ``vecs`` as "indexed", so a crash between the writes
+    re-derives the batch instead of leaving ids invisible to candidate
+    generation. ``compact()`` is the same offline small-file fold
+    (banded repartitioned by bucket + deduplicated, vecs by id)."""
+
+    def __init__(self, spark, path: str, dim: int, n_planes: int = 3,
+                 n_tables: int = 8, seed: int = 42):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.dim = dim
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+
+    def _derive(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        return _banded_by_mask(
+            df, self.dim, self.n_planes, self.n_tables, self.seed,
+            id_col, vec_col, "id", "v", widen=True, norm_alias="nv",
+        )
+
+    def append(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+        from pyspark.storagelevel import StorageLevel
+
+        banded = self._derive(df, id_col, vec_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        banded.select("id", "t", "bucket").write.mode("append").parquet(
+            f"{self.path}/banded"
+        )
+        banded.filter(F.col("t") == 0).select("id", "v", "nv").write.mode(
+            "append"
+        ).parquet(f"{self.path}/vecs")
+        banded.unpersist()
+
+    def compact(self, target_files: int = 8) -> None:
+        import os
+        import shutil
+
+        for rel, key in (("banded", "bucket"), ("vecs", "id")):
+            cur = f"{self.path}/{rel}"
+            tmp = f"{self.path}/_{rel}_compact"
+            df = self.spark.read.parquet(cur)
+            df = df.distinct() if rel == "banded" else df.dropDuplicates(["id"])
+            df.repartition(target_files, key).write.mode("overwrite").parquet(tmp)
+            old = f"{self.path}/_{rel}_old"
+            os.rename(cur, old)
+            os.rename(tmp, cur)
+            shutil.rmtree(old)
+
+    def pairs_against(
+        self,
+        new_df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.4,
+    ) -> DataFrame:
+        from pyspark.storagelevel import StorageLevel
+
+        banded_new = self._derive(new_df, id_col, vec_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        banded_old = self.spark.read.parquet(f"{self.path}/banded")
+        vecs_old = self.spark.read.parquet(f"{self.path}/vecs")
+        candidates = (
+            banded_new.select(F.col("id").alias("new_id"), "t", "bucket")
+            .join(
+                banded_old.select(F.col("id").alias("corpus_id"), "t", "bucket"),
+                on=["t", "bucket"],
+            )
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        vecs_new = banded_new.filter(F.col("t") == 0).select("id", "v", "nv")
+        return (
+            candidates
+            .join(
+                vecs_new.select(F.col("id").alias("new_id"),
+                                F.col("v").alias("v_n"), F.col("nv").alias("n_n")),
+                on="new_id",
+            )
+            .join(
+                vecs_old.select(F.col("id").alias("corpus_id"),
+                                F.col("v").alias("v_c"), F.col("nv").alias("n_c")),
+                on="corpus_id",
+            )
+            .select(
+                "new_id", "corpus_id",
+                cosine_with_norms(
+                    F.col("v_n"), F.col("v_c"), F.col("n_n"), F.col("n_c")
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+
 # -------------------------------------------------------------------- PQ
 
 def fit_pq_codebooks(mat, m: int = 8, ks: int = 16, seed: int = 42,

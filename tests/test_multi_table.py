@@ -154,7 +154,7 @@ def test_streaming_multi_table_tail(spark, tmp_path):
     q = start_multi_table_cdc_stream(
         checkpoint_dir=str(tmp_path / "ckpt"), **kwargs
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     tables = {n: LakeTable(p) for n, p in paths.items()}
     pdf_first = first.toPandas()
     for name, t in tables.items():
@@ -168,7 +168,7 @@ def test_streaming_multi_table_tail(spark, tmp_path):
     q2 = start_multi_table_cdc_stream(
         checkpoint_dir=str(tmp_path / "ckpt"), **kwargs
     )
-    q2.awaitTermination(120)
+    q2.awaitTermination()
     pdf_all = cl.toPandas()
     versions_after = {n: t.current_version() for n, t in tables.items()}
     for name, t in tables.items():
@@ -182,7 +182,7 @@ def test_streaming_multi_table_tail(spark, tmp_path):
     q3 = start_multi_table_cdc_stream(
         checkpoint_dir=str(tmp_path / "ckpt2"), **kwargs
     )
-    q3.awaitTermination(120)
+    q3.awaitTermination()
     for name, t in tables.items():
         got = normalize(t.read(spark).toPandas(), PAYLOAD)
         pd.testing.assert_frame_equal(

@@ -158,6 +158,51 @@ def test_update_transforms(spark):
     assert out[1]["r"] is None and out[1]["d"] == -6.0
 
 
+def test_embedding_lsh_index_incremental_equals_one_shot(spark, tmp_path):
+    """EmbeddingLshIndex (persistent ANN dedup index): pairs of a new
+    batch vs the indexed corpus must equal the (new x corpus) cross
+    subset of the one-shot self-join operator (same planes -> same
+    candidate recall, same exact-cosine verify values), and building the
+    index in two appends must equal one."""
+    from polardbx_tools_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    split = 400
+    corpus = e.filter(F.col("vec_id") < split)
+    new = e.filter(F.col("vec_id") >= split)
+
+    idx = similarity.EmbeddingLshIndex(spark, str(tmp_path / "i1"), dim=64,
+                                       n_planes=3, n_tables=8)
+    idx.append(corpus.filter("vec_id < 200"))
+    idx.append(corpus.filter("vec_id >= 200"))
+    got = {(r["new_id"], r["corpus_id"]): round(r["cosine"], 6)
+           for r in idx.pairs_against(new, threshold=0.4).collect()}
+
+    one = similarity.EmbeddingLshIndex(spark, str(tmp_path / "i2"), dim=64,
+                                       n_planes=3, n_tables=8)
+    one.append(corpus)
+    got_one = {(r["new_id"], r["corpus_id"]): round(r["cosine"], 6)
+               for r in one.pairs_against(new, threshold=0.4).collect()}
+    assert got == got_one
+
+    full = similarity.cosine_near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes=3, n_tables=8
+    )
+    want = {}
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a < split) != (b < split):  # exactly one side is corpus
+            new_id, corpus_id = (b, a) if a < split else (a, b)
+            want[(new_id, corpus_id)] = round(r["cosine"], 6)
+    assert got == want
+
+    # compact preserves the result (dedup + re-layout only)
+    idx.compact(target_files=2)
+    got_c = {(r["new_id"], r["corpus_id"]): round(r["cosine"], 6)
+             for r in idx.pairs_against(new, threshold=0.4).collect()}
+    assert got_c == got
+
+
 def test_multimodal_real_codecs_end_to_end(spark):
     """REAL stdlib decode through the distributed path: BMP images and
     PCM WAV audio rows get real features (dimensions / duration lead
