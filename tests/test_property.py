@@ -71,3 +71,64 @@ def test_engine_equals_oracle_for_any_changelog(spark, tmp_path_factory, events,
     ])
     want = normalize(replay_oracle(cl_pd, PAYLOAD), PAYLOAD)
     pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=changelog_st, split_batch=st.booleans())
+def test_multi_table_routed_equals_per_route_oracle(
+    spark, tmp_path_factory, events, split_batch
+):
+    """For ANY changelog routed by a derived schema column across two
+    tables (one or two mixed batches), each table's final state equals
+    the pandas replay of its route slice, and both ledgers carry the
+    global offsets."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from polardbx_tools_spark.lake.multi import apply_multi_table
+    from polardbx_tools_spark.lake.table import LakeTable
+
+    base = tmp_path_factory.mktemp("mprop")
+    rows = to_rows(events)
+    df = spark.createDataFrame(rows, changelog_schema(with_tool=True))
+    mixed = df.withColumn(
+        "schema", F.when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, "a")
+        .otherwise("b"),
+    )
+    from pyspark.sql.types import StructType
+    payload_schema = StructType(
+        [f for f in changelog_schema(with_tool=True).fields
+         if f.name not in ("op", "source_lsn", "source_partition")]
+    )
+    tables = {
+        n: LakeTable.create(str(base / n), payload_schema,
+                            bucket_key="conv_id", bucket_count=4,
+                            key_cols=("conv_id", "turn_idx"))
+        for n in ("a", "b")
+    }
+    if split_batch and len(rows) > 2:
+        mid = len(rows) // 2
+        apply_multi_table(spark, tables,
+                          mixed.filter(F.col("source_lsn") < mid), 0)
+        st_ = apply_multi_table(spark, tables,
+                                mixed.filter(F.col("source_lsn") >= mid), 1)
+    else:
+        st_ = apply_multi_table(spark, tables, mixed, 0)
+
+    mixed_pd = mixed.toPandas()
+    for name, t in tables.items():
+        part = mixed_pd[mixed_pd["schema"] == name].drop(columns=["schema"])
+        want = normalize(replay_oracle(part, PAYLOAD), PAYLOAD)
+        got = normalize(t.read(spark).toPandas(), PAYLOAD)
+        pdt.assert_frame_equal(got, want, check_dtype=False)
+    # both ledgers identical (global offsets) and cover the last batch
+    offs = [t.offsets() for t in tables.values()]
+    assert offs[0] == offs[1]
+    for p, lsn in st_.global_offsets.items():
+        assert offs[0][p] >= lsn
