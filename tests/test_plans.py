@@ -140,6 +140,35 @@ def test_dedup_and_ann_plans_avoid_nested_loops(spark):
     assert "BroadcastHashJoin" in plans["lsh_topk"], plans["lsh_topk"]
 
 
+def test_round4_numpy_paths_plan_shapes(spark):
+    """Round-4 physical shapes: the PQ scorer prunes per-batch inside a
+    MapInPandas BEFORE the global shortlist window (so the window's
+    exchange sees queries*refine*partitions rows, not corpus*queries);
+    the near-dup verify is bucket-grouped applyInPandas (one vector
+    shuffle per (table,bucket), no per-pair verify join); the LSH sign
+    mask rides one MapInPandas below the Generate. No cartesian/nested
+    loop anywhere."""
+    from polardbx_tools_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter("vec_id < 4")
+
+    pq = plan(similarity.pq_topk(e, q, dim=64, k=5, m=8, ks=16, refine=40))
+    assert "MapInPandas" in pq, pq
+    # the shortlist window consumes the mapInPandas output directly:
+    # the Window's exchange appears ABOVE the python node in the tree
+    assert pq.index("Window") < pq.index("MapInPandas"), pq
+    assert "CartesianProduct" not in pq and "BroadcastNestedLoop" not in pq, pq
+
+    nd = plan(similarity.cosine_near_dup_pairs(e, dim=64))
+    assert "FlatMapGroupsInPandas" in nd, nd  # bucket-local pairwise verify
+    assert "SortMergeJoin" not in nd and "BroadcastHashJoin" not in nd, nd
+
+    lsh = plan(similarity.lsh_topk(e, q, dim=64))
+    assert "MapInPandas" in lsh, lsh  # np sign-mask scan feeds the explode
+    assert lsh.index("Generate") < lsh.index("MapInPandas"), lsh
+
+
 def test_scan_skips_python_for_builtin_ops(spark):
     """No BatchEvalPython / ArrowEval in plans of built-in operators —
     the hot path stays in WholeStageCodegen."""
