@@ -428,10 +428,15 @@ def _driver_headline_lines() -> list[str]:
             break
     if evps is None:
         return []
+    # tail-regex recovery can find evps without events/cpus (truncation
+    # cut between them) — format what exists, never crash here: a raise
+    # would abort write_bench_md before the contract JSON line prints
+    events_txt = f" — {events:,} change-events merge-applied" if events else ""
+    cpus_txt = f" at local[{cpus}]" if cpus else ""
     return [
         f"**Headline (authoritative, driver record `{os.path.basename(latest)}`): "
-        f"{evps:,.0f} events/s** — {events:,} change-events merge-applied at "
-        f"local[{cpus}]. Every figure below is a LOCAL re-run of the same "
+        f"{evps:,.0f} events/s**{events_txt}{cpus_txt}. Every figure below is "
+        "a LOCAL re-run of the same "
         "protocol (best-of-N footnotes, scaling evidence); where they differ "
         "from the driver record, the driver record wins.",
         "",

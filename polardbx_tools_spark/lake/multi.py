@@ -169,7 +169,11 @@ def run_multi_table(
     (Single-table extras — quarantine budget, pacing, circle replay —
     stay on :class:`~polardbx_tools_spark.pipeline.CdcPipeline`; route a
     pre-validated changelog here.)"""
-    max_lsn = changelog.agg(F.max(LSN_COL)).collect()[0][0]
+    bounds = changelog.agg(
+        F.min(LSN_COL).alias("lo"), F.max(LSN_COL).alias("hi"),
+        F.collect_set(PART_COL).alias("parts"),
+    ).collect()[0]
+    max_lsn = bounds["hi"]
     if max_lsn is None:
         return []
     floor = F.lit(-(1 << 62)).cast("long")
@@ -183,7 +187,23 @@ def run_multi_table(
         committed = floor
     todo = changelog.filter(F.col(LSN_COL) > committed)
     out: list[MultiApplyStats] = []
-    lo, batch_id = 0, 0
+    # fast-forward the window cursor past fully-consumed / below-origin
+    # LSN space (the CdcPipeline.run resume skip): without this a
+    # restart replays 1+N empty Spark jobs per consumed window, and a
+    # binlog-style LSN origin of ~1e12 would spin ~1e5 empty windows
+    # before the first event. Windows above the min committed offset
+    # still run (their per-partition remainder is what the filter
+    # keeps); partial coverage is completed by the idempotent merges.
+    # min(ro) is a safe skip floor ONLY when every source partition in
+    # the changelog has a cross-table committed offset — a partition
+    # unknown to any table must replay from its first event, and the
+    # `todo` filter (not the cursor) is what protects it.
+    start = int(bounds["lo"])
+    parts = {int(p) for p in (bounds["parts"] or []) if p is not None}
+    if ro and parts and parts <= set(ro):
+        start = max(start, min(ro[p] for p in parts) + 1)
+    lo = (start // batch_lsns) * batch_lsns
+    batch_id = 0
     while lo <= max_lsn:
         hi = lo + batch_lsns
         window = todo.filter((F.col(LSN_COL) >= lo) & (F.col(LSN_COL) < hi))

@@ -4,8 +4,8 @@ This container ships no PIL/libsndfile/ffmpeg, so the multimodal layer
 originally stubbed ALL decoding. These codecs remove the stub for the
 formats that need nothing beyond the standard library + numpy:
 
-* WAV (RIFF PCM, 8/16/32-bit int + 32-bit float) — stdlib ``wave`` +
-  numpy frombuffer;
+* WAV (RIFF PCM, 8/16/32-bit integer; stdlib ``wave`` rejects
+  IEEE-float WAVs) — ``wave`` + numpy frombuffer;
 * BMP (uncompressed 24/32-bit BITMAPINFOHEADER) — manual header parse;
 * PPM (binary ``P6``) — manual header parse.
 
@@ -41,7 +41,9 @@ def sniff(payload: bytes | None) -> str | None:
 # ------------------------------------------------------------------ audio
 
 def decode_wav(payload: bytes):
-    """PCM samples as float64 in [-1, 1]: (samples[n, channels], rate)."""
+    """PCM samples as float64 in [-1, 1]: (samples[n, channels], rate).
+    Integer PCM only (8/16/32-bit) — the stdlib ``wave`` reader raises
+    on non-PCM (e.g. IEEE-float) WAVE files."""
     import numpy as np
 
     with wave.open(io.BytesIO(payload), "rb") as w:
@@ -234,13 +236,21 @@ def feature_vector(payload: bytes | None, dim: int = 8) -> list[float]:
     REAL features for wav/bmp/ppm payloads, deterministic hash features
     for formats without a stdlib codec (honest fallback — the plumbing
     stays exercised, and a deployment decode_fn replaces it wholesale).
-    Output is padded/truncated to ``dim``."""
+    A payload whose magic bytes sniff as a decodable format but whose
+    body is corrupt ALSO takes the hash fallback — one bad row must
+    degrade per-row, never abort the whole Spark job (the docstring
+    contract at the top of this module). Output is padded/truncated to
+    ``dim``."""
     kind = sniff(payload)
-    if kind == "wav":
-        out = wav_features(payload)
-    elif kind in ("bmp", "ppm"):
-        out = image_features(payload)
-    else:
+    out = None
+    try:
+        if kind == "wav":
+            out = wav_features(payload)
+        elif kind in ("bmp", "ppm"):
+            out = image_features(payload)
+    except Exception:
+        out = None  # corrupt body behind a valid magic -> fallback
+    if out is None:
         import hashlib
 
         h = hashlib.sha1(payload or b"").digest()

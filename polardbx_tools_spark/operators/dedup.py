@@ -620,6 +620,36 @@ def leakage_safe_split(
     return out.withColumn("split", split)
 
 
+def _compact_preclean(cur: str, tmp: str, old: str) -> None:
+    """Make an index-relation compact RE-RUNNABLE after any crash:
+    restore ``cur`` from ``old`` if a previous attempt died between its
+    two renames (the only window where ``cur`` is missing), and clear
+    stale ``old``/``tmp`` leftovers that would otherwise fail the next
+    attempt's renames. The swap itself stays two renames — offline
+    maintenance by contract (unlike the lake's atomic pointer flip) —
+    but a crash at ANY point now leaves a state the next compact()
+    repairs instead of requiring filesystem surgery."""
+    import os
+    import shutil
+
+    if os.path.isdir(old):
+        if os.path.isdir(cur):
+            shutil.rmtree(old)  # crashed before cleanup: stale backup
+        else:
+            os.rename(old, cur)  # crashed between renames: restore
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # half-written compact output
+
+
+def _compact_swap(cur: str, tmp: str, old: str) -> None:
+    import os
+    import shutil
+
+    os.rename(cur, old)
+    os.rename(tmp, cur)
+    shutil.rmtree(old)
+
+
 class MinHashLshIndex:
     """Persistent MinHash-LSH dedup index — the steady-state form of
     :func:`incremental_minhash_pairs` for an ingest pipeline.
@@ -694,23 +724,20 @@ class MinHashLshIndex:
 
         OFFLINE maintenance: run it between gate batches, not
         concurrently with a writer — the swap is two directory renames,
-        not the lake's atomic pointer flip."""
-        import os
-        import shutil
-
+        not the lake's atomic pointer flip; a crash at any point is
+        repaired by the next compact() (see _compact_preclean)."""
         for rel, cols in (("banded", ["bucket"]), ("hs", ["id"])):
             cur = f"{self.path}/{rel}"
             tmp = f"{self.path}/_{rel}_compact"
+            old = f"{self.path}/_{rel}_old"
+            _compact_preclean(cur, tmp, old)
             df = self.spark.read.parquet(cur)
             if rel == "banded":
                 df = df.distinct()
             df.repartition(target_files, *cols).write.mode(
                 "overwrite"
             ).parquet(tmp)
-            old = f"{self.path}/_{rel}_old"
-            os.rename(cur, old)
-            os.rename(tmp, cur)
-            shutil.rmtree(old)
+            _compact_swap(cur, tmp, old)
 
     def pairs_against(
         self,

@@ -44,13 +44,6 @@ FEATURE_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder: hash-derived features.
-    NOT a real codec — replace via ``decode_fn`` in deployment."""
-    h = hashlib.sha1(payload or b"").digest()
-    return [b / 255.0 for b in h[:dim]]
-
-
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes], list[float]] | None = None,

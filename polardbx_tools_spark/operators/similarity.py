@@ -164,7 +164,11 @@ def brute_force_topk_np(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    partial = _widen_scan(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
+    # NULL vectors would crash np.stack with a ragged batch; the expr
+    # twin scores them NULL (excluded from top-k) — drop them up front
+    partial = _widen_scan(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -206,7 +210,11 @@ def cosine_near_dup_pairs(
 
     Cosine values replay the former expression form bit-for-bit
     (f32 products widened then summed in index order, f32-squared
-    norms), so the SQL-literal oracle keeps matching."""
+    norms), so the SQL-literal oracle keeps matching. Zero-norm
+    vectors never pair: their cosine is undefined (0/0 -> NaN) and the
+    numpy keep-mask drops NaN — matching the SQL oracle's comparison
+    semantics (the former Spark `>=` filter followed Spark's
+    NaN-is-largest ordering and emitted such pairs with a NaN score)."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -604,7 +612,15 @@ def _mask_np_scan(
             out["_m"] = mask
             yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(compute, out_schema)
+    # NULL vectors: the expression form yielded a NULL mask and the row
+    # fell out of every bucket join; the numpy stack would instead
+    # crash the whole job on a ragged batch — drop them up front (same
+    # observable result, per-row not per-job)
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(compute, out_schema)
+    )
 
 
 def _banded_by_mask(
@@ -823,19 +839,23 @@ class EmbeddingLshIndex:
         banded.unpersist()
 
     def compact(self, target_files: int = 8) -> None:
-        import os
-        import shutil
+        """Offline small-file fold (same contract as
+        MinHashLshIndex.compact): re-runnable after any crash via the
+        shared preclean/swap helpers."""
+        from polardbx_tools_spark.operators.dedup import (
+            _compact_preclean,
+            _compact_swap,
+        )
 
         for rel, key in (("banded", "bucket"), ("vecs", "id")):
             cur = f"{self.path}/{rel}"
             tmp = f"{self.path}/_{rel}_compact"
+            old = f"{self.path}/_{rel}_old"
+            _compact_preclean(cur, tmp, old)
             df = self.spark.read.parquet(cur)
             df = df.distinct() if rel == "banded" else df.dropDuplicates(["id"])
             df.repartition(target_files, key).write.mode("overwrite").parquet(tmp)
-            old = f"{self.path}/_{rel}_old"
-            os.rename(cur, old)
-            os.rename(tmp, cur)
-            shutil.rmtree(old)
+            _compact_swap(cur, tmp, old)
 
     def pairs_against(
         self,
@@ -1108,7 +1128,9 @@ def pq_topk(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    partial = _widen_scan(corpus.select(id_col, vec_col)).mapInPandas(
+    partial = _widen_scan(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(
         encode_and_score, "query_id long, neighbor_id long, adc double"
     )
     w_short = Window.partitionBy("query_id").orderBy(

@@ -89,3 +89,15 @@ def test_feature_vector_routes_by_magic():
 def test_unsupported_resize_raises():
     with pytest.raises(ValueError):
         codecs.resize_image(b"\xff\xd8\xff\xe0 jpeg-ish", 4, 4)
+
+
+def test_corrupt_payload_degrades_to_hash_fallback():
+    """A payload whose magic sniffs as decodable but whose body is
+    corrupt must take the hash fallback, never raise — one bad row must
+    not abort a whole Spark job (review finding, round 4)."""
+    truncated_wav = b"RIFF\x24\x00\x00\x00WAVEfmt "  # header only
+    bad_bmp = b"BM" + b"\x00" * 20  # too short for a real header
+    for payload in (truncated_wav, bad_bmp):
+        out = codecs.feature_vector(payload, dim=8)
+        assert len(out) == 8
+        assert out == codecs.feature_vector(payload, dim=8)  # deterministic

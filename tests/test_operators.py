@@ -202,6 +202,18 @@ def test_embedding_lsh_index_incremental_equals_one_shot(spark, tmp_path):
              for r in idx.pairs_against(new, threshold=0.4).collect()}
     assert got_c == got
 
+    # crash-recovery: simulate a compact that died between its two
+    # renames (cur gone, _old present) — the next compact() must repair
+    # and produce the same result (review finding, round 4)
+    import os
+
+    cur = f"{idx.path}/banded"
+    os.rename(cur, f"{idx.path}/_banded_old")
+    idx.compact(target_files=2)
+    got_r = {(r["new_id"], r["corpus_id"]): round(r["cosine"], 6)
+             for r in idx.pairs_against(new, threshold=0.4).collect()}
+    assert got_r == got
+
 
 def test_multimodal_real_codecs_end_to_end(spark):
     """REAL stdlib decode through the distributed path: BMP images and
