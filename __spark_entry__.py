@@ -929,8 +929,12 @@ def _q_corpus_sample_stratified(spark, sf):
 def _q_ann_cosine_topk(spark, sf):
     """Exact brute-force ANN through BOTH implementations in one
     labelled-union entry: the pure-expression path and the
-    numpy/mapInPandas fast path. cos rounded to 3 (the np path's fp
-    summation order differs at the last ulp)."""
+    numpy/mapInPandas fast path. cos rounded to 3 and rank EXCLUDED
+    from the gate columns: the np path's fp summation order differs at
+    the last ulp, so asserting rank order would make the entry flaky at
+    any near-tie boundary (round-4 advice); top-k MEMBERSHIP + rounded
+    cosine is the stable contract. np==expr rank parity is asserted in
+    pytest on the fixed test data instead."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     cols = lambda df, path: df.select(
@@ -938,7 +942,6 @@ def _q_ann_cosine_topk(spark, sf):
         "query_id",
         "neighbor_id",
         F.round("cosine", 3).alias("cos_r"),
-        F.col("rank").cast("long").alias("rank"),
     )
     return cols(similarity.brute_force_topk(e, q, k=5), "expr").unionByName(
         cols(similarity.brute_force_topk_np(e, q, k=5), "np")
@@ -1610,7 +1613,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings c CROSS JOIN q
               WHERE c.vec_id <> q.query_id),
             topk AS (
-              SELECT query_id, neighbor_id, round(cosine, 3) AS cos_r, rank
+              SELECT query_id, neighbor_id, round(cosine, 3) AS cos_r
               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
               WHERE rank <= 5)

@@ -13,6 +13,10 @@ import functools
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Max float64 elements in one bucket-scoring slab (block x n); bounds
+# worker memory at ~32 MB per chunk regardless of bucket skew.
+_PAIR_BLOCK_ELEMS = 1 << 22
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -100,6 +104,20 @@ def _widen_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def _pair_score_schema(df: DataFrame, id_col: str, score_name: str):
+    """(query_id, neighbor_id, <score>) StructType with the id columns
+    typed from the INPUT id field — a string/decimal id survives the
+    Arrow boundary instead of failing a hard-coded long cast."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = {f.name: f for f in df.schema.fields}[id_col].dataType
+    return StructType([
+        StructField("query_id", id_type, True),
+        StructField("neighbor_id", id_type, True),
+        StructField(score_name, DoubleType(), True),
+    ])
+
+
 def brute_force_topk_np(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,14 +138,14 @@ def brute_force_topk_np(
     from pyspark.sql.window import Window
 
     q_rows = queries.select(id_col, vec_col).collect()  # small, by contract
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_ids = np.asarray([r[id_col] for r in q_rows])  # keep the input id dtype
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = 1.0
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_norm))
 
-    out_schema = "query_id long, neighbor_id long, cosine double"
+    out_schema = _pair_score_schema(corpus, id_col, "cosine")
 
     def score(batches):
         import pandas as pd
@@ -136,7 +154,7 @@ def brute_force_topk_np(
         for pdf in batches:
             if pdf.empty:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_ids = pdf[id_col].to_numpy()  # keep the input id dtype
             c_mat = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm[c_norm == 0] = 1.0
@@ -225,6 +243,7 @@ def cosine_near_dup_pairs(
         StructField("id_b", id_field.dataType, True),
         StructField("cosine", DoubleType(), True),
     ])
+    block_elems = _PAIR_BLOCK_ELEMS  # captured by value into the closure
 
     def score_bucket(pdf):
         import pandas as pd
@@ -236,22 +255,37 @@ def cosine_near_dup_pairs(
         ids = pdf["id"].to_numpy()[order]
         v32 = np.stack(pdf["v"].map(np.asarray).values)[order]
         d = v32.shape[1]
-        acc = np.zeros((n, n), dtype=np.float64)
-        for e in range(d):  # f32 product widened, summed in index order
-            acc += (v32[:, e, None] * v32[None, :, e]).astype(np.float64)
         sq64 = (v32 * v32).astype(np.float64)
         nacc = np.zeros(n, dtype=np.float64)
         for e in range(d):
             nacc += sq64[:, e]
         nrm = np.sqrt(nacc)
-        cos = acc / np.outer(nrm, nrm)
-        ia, ib = np.triu_indices(n, k=1)
-        keep = cos[ia, ib] >= threshold
-        return pd.DataFrame({
-            "id_a": ids[ia[keep]],
-            "id_b": ids[ib[keep]],
-            "cosine": cos[ia[keep], ib[keep]],
-        })
+        # Row-chunked upper triangle: a hot/skewed bucket of B rows
+        # would otherwise allocate a dense BxB float64 matrix (~20 GB
+        # at B=50k) in one Python worker. Each chunk is block x n
+        # (block sized so the slab stays ~32 MB); per-element
+        # accumulation order inside a chunk is unchanged, so cosine
+        # values stay bit-identical to the one-shot matrix.
+        block = max(1, block_elems // n)
+        outs = []
+        for i0 in range(0, n - 1, block):
+            i1 = min(i0 + block, n)
+            acc = np.zeros((i1 - i0, n), dtype=np.float64)
+            for e in range(d):  # f32 product widened, summed in index order
+                acc += (v32[i0:i1, e, None] * v32[None, :, e]).astype(np.float64)
+            cos = acc / np.outer(nrm[i0:i1], nrm)
+            upper = np.arange(n)[None, :] > np.arange(i0, i1)[:, None]
+            # NaN >= threshold is False, so zero-norm rows drop here
+            ia, ib = np.nonzero(upper & (cos >= threshold))
+            if len(ia):
+                outs.append(pd.DataFrame({
+                    "id_a": ids[i0 + ia],
+                    "id_b": ids[ib],
+                    "cosine": cos[ia, ib],
+                }))
+        if not outs:
+            return pd.DataFrame({k: [] for k in ("id_a", "id_b", "cosine")})
+        return pd.concat(outs, ignore_index=True)
 
     banded = _banded_by_mask(
         df, dim, n_planes, n_tables, seed, id_col, vec_col, "id", "v",
@@ -528,7 +562,13 @@ def lsh_sign_mask(vec: Column, dim: int, n_bits: int, seed: int = 42) -> Column:
     then ``(mask >> t*n_planes) & (2^n_planes - 1)`` — a bit op that is
     re-evaluation-cheap wherever Generate/codegen touches it (the
     round-2 regression came from hanging the dot products themselves
-    off the exploded table index)."""
+    off the exploded table index).
+
+    ``n_bits`` is capped at 62: bit 63 of a set sign would overflow
+    the signed long under ANSI — wider configs use per-table buckets
+    (see :func:`_banded_by_mask`)."""
+    if n_bits > 62:
+        raise ValueError("lsh_sign_mask supports at most 62 bits")
     planes = _planes_expr(dim, n_bits, 1, seed)
 
     def plane_dot(i: Column) -> Column:
@@ -652,7 +692,9 @@ def _banded_by_mask(
 
     The mask+norm projection runs through :func:`_mask_np_scan` (one
     vectorized Arrow pass, bit-parity asserted in tests) when the bit
-    width allows; wider masks fall back to the expression form."""
+    width allows; wider configurations fall back to per-table bucket
+    expressions over the exploded table index (a single int64 mask
+    would overflow past 62 bits)."""
     if widen:
         df = _widen_scan(df)
     n_bits = n_planes * n_tables
@@ -665,29 +707,50 @@ def _banded_by_mask(
             *([F.col("_norm").alias(norm_alias)] if norm_alias else []),
             "_m",
         )
-    else:
-        masked = df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias("_v"),
-            *([l2_norm(F.col(vec_col)).alias(norm_alias)] if norm_alias else []),
-            lsh_sign_mask(F.col(vec_col), dim, n_bits, seed).alias("_m"),
+        keep = (
+            [id_alias]
+            + ([vec_alias] if vec_alias else [])
+            + ([norm_alias] if norm_alias else [])
+            + ["t"]
         )
-    keep = (
-        [id_alias]
-        + ([vec_alias] if vec_alias else [])
-        + ([norm_alias] if norm_alias else [])
-        + ["t"]
+        return masked.select(
+            id_alias,
+            *([F.col("_v").alias(vec_alias)] if vec_alias else []),
+            *([norm_alias] if norm_alias else []),
+            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
+            "_m",
+        ).select(
+            *keep,
+            F.expr(
+                f"shiftrightunsigned(_m, t * {n_planes}) & {(1 << n_planes) - 1}"
+            ).alias("bucket"),
+        )
+    # Wide masks (> 62 bits) can NOT ride one int64 — bit 63 overflows
+    # the signed long under ANSI (round-5 fix: the former single-mask
+    # fallback crashed at 64 bits on ~half the rows). Compute each
+    # table's bucket over the EXPLODED table index instead: every
+    # exploded row evaluates exactly its own table's n_planes dots, so
+    # the total per input row is the same n_planes*n_tables dots the
+    # mask path pays. NULL vectors are dropped up front — same per-row
+    # degradation as _mask_np_scan (the former NULL mask/bucket rows
+    # crashed downstream groupBy(t, bucket) np.stack scorers).
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias("_v"),
+        *([l2_norm(F.col(vec_col)).alias(norm_alias)] if norm_alias else []),
     )
-    return masked.select(
+    return base.select(
+        id_alias,
+        "_v",
+        *([norm_alias] if norm_alias else []),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
+    ).select(
         id_alias,
         *([F.col("_v").alias(vec_alias)] if vec_alias else []),
         *([norm_alias] if norm_alias else []),
-        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
-        "_m",
-    ).select(
-        *keep,
-        F.expr(
-            f"shiftrightunsigned(_m, t * {n_planes}) & {(1 << n_planes) - 1}"
+        "t",
+        lsh_bucket_for_table(
+            F.col("_v"), F.col("t"), dim, n_planes, n_tables, seed
         ).alias("bucket"),
     )
 
@@ -1065,7 +1128,7 @@ def pq_topk(
     q_rows = sorted(
         queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
     )
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_ids = np.asarray([r[id_col] for r in q_rows])  # keep the input id dtype
     nq = len(q_rows)
     luts = np.zeros((nq, m, ks), dtype=np.float64)
     for qi, r in enumerate(q_rows):
@@ -1094,7 +1157,7 @@ def pq_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_ids = pdf[id_col].to_numpy()  # keep the input id dtype
             v = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
             n = len(c_ids)
             # encode: per subspace, sequential-fold d2 to every centroid,
@@ -1131,7 +1194,7 @@ def pq_topk(
     partial = _widen_scan(
         corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
     ).mapInPandas(
-        encode_and_score, "query_id long, neighbor_id long, adc double"
+        encode_and_score, _pair_score_schema(corpus, id_col, "adc")
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id")

@@ -134,8 +134,12 @@ def shard_predicates(column: str, n_shards: int) -> list[str]:
     """One mutually-exclusive, collectively-exhaustive predicate per
     shard over a hash-routed column — the ``predicates=`` form of
     ``spark.read.jdbc`` (one executor partition per physical shard, no
-    lower/upper bound needed; NULLs ride shard 0). Matches the engine's
-    ``pmod(hash, n)`` routing (ref DbUtil.java:386-396)."""
+    lower/upper bound needed; NULLs ride shard 0). These are MECE
+    partition predicates for PARALLEL READS ONLY — the CRC32-mod bucket
+    a row lands in is NOT the shard number the engine's own hash
+    routing (ref DbUtil.java:386-396, Java hashCode/numeric mod) would
+    assign it; every row is still scanned exactly once, which is all a
+    partitioned scan needs."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     out = [f"MOD(ABS(CRC32({column})), {n_shards}) = {k}" for k in range(n_shards)]
