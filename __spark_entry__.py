@@ -774,18 +774,38 @@ def _q_doc_fingerprint(spark, sf):
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
-def _q_dedup_clusters(spark, sf):
-    """Duplicate CLUSTERS: connected components (min-label propagation)
-    over the MINHASH-LSH candidate pair graph — the keep-one-per-cluster
-    step between pair detection and a dedup'd corpus, fed from the
-    sub-quadratic pair source a 100-TB run would use (the exact jaccard
-    feed is the verification-grade alternative; clusters inherit the
-    pair source's recall contract — an LSH-missed bridging pair can
-    split a component). Oracle: golden parquet = union-find over the
-    independently-derived minhash golden pairs (tools/make_golden.py)."""
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs_shared(spark, sf):
+    """ONE persisted minhash-LSH pair feed per (session, sf_dir):
+    dedup_clusters and corpus_split_leakproof consume the identical
+    ``minhash_lsh_pairs(d, 32, 8, 0.4)`` relation, and each gate query
+    used to re-shingle + re-band the whole corpus from scratch
+    (round-4 verdict watch-item). The feed is tiny (∝ duplicate pairs),
+    so persisting it is free; a different session or sf dir recomputes."""
+    key = (id(spark), sf)
+    hit = _MINHASH_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
-    return dedup.duplicate_clusters(pairs)
+    pairs = dedup.minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, verify_threshold=0.4
+    ).persist()
+    _MINHASH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def _q_dedup_clusters(spark, sf):
+    """Duplicate CLUSTERS: connected components over the MINHASH-LSH
+    candidate pair graph — the keep-one-per-cluster step between pair
+    detection and a dedup'd corpus, fed from the sub-quadratic pair
+    source a 100-TB run would use (the exact jaccard feed is the
+    verification-grade alternative; clusters inherit the pair source's
+    recall contract — an LSH-missed bridging pair can split a
+    component). Oracle: golden parquet = union-find over the
+    independently-derived minhash golden pairs (tools/make_golden.py)."""
+    return dedup.duplicate_clusters(_minhash_pairs_shared(spark, sf))
 
 
 def _q_corpus_split_leakproof(spark, sf):
@@ -795,8 +815,7 @@ def _q_corpus_split_leakproof(spark, sf):
     random split lacks. Oracle: golden clusters parquet LEFT JOINed to
     documents with the identical multiplicative-hash arithmetic."""
     d = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.4)
-    clusters = dedup.duplicate_clusters(pairs)
+    clusters = dedup.duplicate_clusters(_minhash_pairs_shared(spark, sf))
     # `kept` folds the keep-one-per-cluster funnel end into the same
     # entry: a doc survives dedup iff it is its cluster's canonical
     # (min-id) member — docs in no cluster are their own canonical

@@ -16,8 +16,9 @@ the *content* dedup operators a training-data pipeline needs on top
   is JVM array exprs (no Python), O(1) expression trees.
 * simhash: 64-bit sign aggregate over token hashes via explode +
   bit-position groupBy; hamming ≤ r candidate filter.
-* duplicate_clusters: distributed min-label connected components over
-  any pair operator's output (diameter-bounded rounds).
+* duplicate_clusters: connected components over any pair operator's
+  output — bounded driver union-find when the edge list fits a probe,
+  distributed min-label propagation (diameter-bounded rounds) beyond.
 * ngram_jaccard_pairs: char-3-gram twin of jaccard_pairs (robust to
   word reorderings / whitespace edits).
 * incremental_minhash_pairs / MinHashLshIndex: new-batch-vs-corpus
@@ -32,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from polardbx_tools_spark.operators.similarity import _widen_scan
 from polardbx_tools_spark.operators.text import normalize_text, tokens
 
 
@@ -87,17 +89,25 @@ def _emit_size_keys(n: Column, threshold: float) -> Column:
 
 
 def _vocab_probe_df(base: DataFrame, probe_rows: int, max_vocab: int) -> DataFrame:
-    """Bounded strategy probe: distinct tokens of a ``probe_rows``-row
-    SAMPLE, capped at ``max_vocab + 1``. The limits bound BOTH the scan
-    (LocalLimit pushes into the sample) and the distinct — this is a
-    strategy hint, never a full-corpus aggregation (a ``distinct()``
-    over every token at 100 TB just to learn "vocab > 62" was the
-    round-2 scale wart)."""
-    return (
-        base.limit(probe_rows)
-        .select(F.explode("ws").alias("tok"))
-        .distinct()
-        .limit(max_vocab + 1)
+    """Bounded strategy probe, ONE row / ONE job: ``n_docs`` counts the
+    sampled rows (capped at ``probe_rows + 1`` — the corpus-size
+    signal: ``n_docs <= probe_rows`` proves the sample IS the corpus)
+    and ``toks`` is the lexicographically-first ``max_vocab + 1``
+    distinct tokens of the sample. The row limit bounds the scan
+    (LocalLimit pushes into the sample) and the slice bounds what the
+    driver receives — this is a strategy hint, never a full-corpus
+    aggregation (a ``distinct()`` over every token at 100 TB just to
+    learn "vocab > 62" was the round-2 scale wart; the separate
+    full-sample ``limit().count()`` corpus-size job was round-4's —
+    both signals now come out of the probe's single collect)."""
+    sample = base.limit(probe_rows + 1).select(
+        F.monotonically_increasing_id().alias("_r"), "ws"
+    )
+    return sample.select("_r", F.explode_outer("ws").alias("tok")).agg(
+        F.countDistinct("_r").alias("n_docs"),
+        F.slice(
+            F.sort_array(F.collect_set("tok")), 1, max_vocab + 1
+        ).alias("toks"),
     )
 
 
@@ -147,32 +157,41 @@ def jaccard_pairs(
     handling keeps even a stale vocabulary correct, but the two scans
     must see the same rows).
     """
-    base = df.select(
+    narrow = df.select(
+        F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws")
+    )
+    # the widened base feeds the full-corpus mask/pair compute; the
+    # PROBE stays on the unwidened projection so its row limit keeps
+    # pushing into the scan (a limit cannot cross the widen exchange)
+    base = _widen_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws")
     )
     if strategy == "generic":
         return _jaccard_pairs_generic(base, threshold)
     if strategy not in ("bitmask", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    vocab_rows = _vocab_probe_df(base, probe_rows, max_bitmask_vocab).collect()
-    vocab = sorted(r["tok"] for r in vocab_rows)[:max_bitmask_vocab]
-    if strategy == "auto" and len(vocab_rows) > max_bitmask_vocab:
+    probe = _vocab_probe_df(narrow, probe_rows, max_bitmask_vocab).collect()[0]
+    toks = list(probe["toks"] or [])
+    vocab = toks[:max_bitmask_vocab]  # sort_array already ordered them
+    if strategy == "auto" and len(toks) > max_bitmask_vocab:
         return _jaccard_pairs_generic(base, threshold)
-    # completeness decision stays BOUNDED (round-3 finding: the former
-    # full-corpus has_unseen aggregate was an extra synchronous pass
-    # before the plan even ran): if the corpus fits inside the probe
-    # window, the sample IS the corpus and the vocabulary is provably
-    # complete — the residual expression collapses to a literal empty
-    # array and Catalyst folds all residual work away (pure integer-mask
-    # path). A corpus larger than the probe keeps the residual machinery
-    # as the correctness backstop: an under-sampled vocabulary then
-    # costs performance, never correctness.
+    # completeness decision stays BOUNDED and costs NO extra job
+    # (round-3 finding: the former full-corpus has_unseen aggregate was
+    # an extra synchronous pass; round-4 finding: so was the separate
+    # limit().count() corpus-size job — n_docs now rides the probe's
+    # own collect): if the corpus fits inside the probe window, the
+    # sample IS the corpus and the vocabulary is provably complete —
+    # the residual expression collapses to a literal empty array and
+    # Catalyst folds all residual work away (pure integer-mask path).
+    # A corpus larger than the probe keeps the residual machinery as
+    # the correctness backstop: an under-sampled vocabulary then costs
+    # performance, never correctness.
     # complete iff the sample IS the corpus AND nothing was truncated
     # away (a forced-bitmask call with vocab > max_bitmask_vocab keeps
     # only the first 62 tokens — the rest must ride the residual)
     provably_complete = (
-        len(vocab_rows) <= max_bitmask_vocab
-        and base.limit(probe_rows + 1).count() <= probe_rows
+        len(toks) <= max_bitmask_vocab
+        and int(probe["n_docs"]) <= probe_rows
     )
     return _jaccard_pairs_bitmask(base, vocab, threshold,
                                   exact_vocab=provably_complete)
@@ -348,7 +367,7 @@ def ngram_jaccard_pairs(
     exact-modulo-64-bit-collisions contract as the minhash verify,
     :func:`minhash_lsh_pairs`); set sizes and therefore jaccard values
     are unchanged absent a collision."""
-    base = df.select(
+    base = _widen_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.array_sort(
             F.array_distinct(
@@ -434,7 +453,13 @@ def _hashed_and_banded(
     from pyspark.storagelevel import StorageLevel
 
     rows = num_hashes // bands
-    hs_df = df.select(
+    # widen BELOW the shingle hashing: a small parquet arrives as one
+    # split and the per-doc higher-order exprs (the pipeline's dominant
+    # compute) then serialize on one core (round-5 profile: 4.2 s of a
+    # 5,000-doc corpus's wall was this single task). No-op at real
+    # scale (splits >> cores adds no exchange) — same discipline as
+    # similarity's mask scans.
+    hs_df = _widen_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), k_shingle).alias("hs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -714,6 +739,18 @@ class MinHashLshIndex:
         hs.unpersist()
         banded.unpersist()
 
+    def repair(self) -> None:
+        """Repair any crashed :meth:`compact` BEFORE reading the index:
+        restore a relation missing because a swap died between its two
+        renames, and clear half-written temps (see _compact_preclean).
+        Directory checks only — cheap enough to run every gate batch."""
+        for rel in ("banded", "hs"):
+            _compact_preclean(
+                f"{self.path}/{rel}",
+                f"{self.path}/_{rel}_compact",
+                f"{self.path}/_{rel}_old",
+            )
+
     def compact(self, target_files: int = 8) -> None:
         """Fold the per-batch appended files into ``target_files`` per
         relation (the small-file maintenance the lake's ``compact()``
@@ -786,7 +823,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     token → xxhash64 → per-bit ±1 votes → sign → bit assembly. Explode +
     groupBy keeps it fully distributed; one shuffle on id.
     """
-    toks = df.select(
+    toks = _widen_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
     ).withColumn(
@@ -857,7 +894,8 @@ def simhash_near_pairs(
 # ------------------------------------------------------------- clusters
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iterations: int = 25
+    pairs: DataFrame, max_iterations: int = 25,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate PAIR list → duplicate
     clusters ``(doc_id, cluster_id)`` with ``cluster_id = min id reachable
@@ -868,20 +906,65 @@ def duplicate_clusters(
     candidates (minhash/cosine) a missed bridging pair can split a
     component — the scale tradeoff lives in the pair stage, not here.
 
-    Distributed min-label propagation: each round every vertex takes the
-    min of its own label and its neighbors' labels, as ONE
-    union+groupBy-min (plus the edge join) — no second join for change
-    detection: labels only ever decrease, so ``sum(label)`` is strictly
-    decreasing until the fixpoint and one tiny per-round aggregate row
-    detects convergence. ``localCheckpoint`` truncates the per-round
-    lineage so the plan stays flat across iterations. Converges in
-    <= graph-diameter rounds — small for duplicate clusters, which are
-    near-cliques. Raises if ``max_iterations`` rounds pass without
-    reaching the fixpoint (a silent non-converged result would split
-    long-chain components with no signal to the caller). The fixpoint
-    (min reachable id) is engine-independent, so a recursive-CTE SQL or
-    union-find golden oracle can replay it exactly.
+    TWO physical paths behind one fixpoint (min reachable id — engine-
+    independent, so a recursive-CTE SQL or union-find golden oracle
+    replays either exactly):
+
+    * **bounded driver union-find** when a ``limit(driver_max_edges+1)``
+      probe shows the edge list fits (the pair graph is ∝ DUPLICATES,
+      not corpus — usually tiny even when the corpus is not): one job
+      collects the edges, path-compressed union-find labels them in
+      O(E α), one ``createDataFrame`` returns. The round-4 profile
+      showed a 256-edge graph paying ~4-6 s of per-round distributed
+      job overhead for this — same bounded-probe discipline as
+      ``jaccard_pairs``'s bitmask decision.
+    * **distributed min-label propagation** otherwise: each round every
+      vertex takes the min of its own label and its neighbors', as ONE
+      union+groupBy-min (plus the edge join) — no second join for
+      change detection: labels only ever decrease, so ``sum(label)``
+      is strictly decreasing until the fixpoint and one tiny per-round
+      aggregate row (Observation) detects convergence.
+      ``localCheckpoint`` truncates the per-round lineage so the plan
+      stays flat across iterations. Converges in <= graph-diameter
+      rounds — small for duplicate clusters, which are near-cliques.
+      Raises if ``max_iterations`` rounds pass without reaching the
+      fixpoint (a silent non-converged result would split long-chain
+      components with no signal to the caller).
     """
+    if driver_max_edges:
+        probe = (
+            pairs.select("id_a", "id_b").limit(driver_max_edges + 1).collect()
+        )
+        if len(probe) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in probe:
+                a, b = row["id_a"], row["id_b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            # second pass: root-min == min reachable id (unions always
+            # point the larger root at the smaller)
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = {f.name: f for f in pairs.schema.fields}["id_a"].dataType
+            out_schema = StructType([
+                StructField("doc_id", id_type, True),
+                StructField("cluster_id", id_type, True),
+            ])
+            rows = [(v, find(v)) for v in parent]
+            return pairs.sparkSession.createDataFrame(rows, out_schema)
+
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -7,10 +7,12 @@
 * S6 DB shard scan: :func:`jdbc_shard_scan` — partitioned
   ``spark.read.jdbc``, the Spark analog of per-physical-shard SELECTs
   with streaming fetch (``worker/util/ExportUtil.java:38-64``,
-  ``util/DataSourceUtil.java:38-42``). Untestable here (no DB in the
-  sandbox): the builder is config-only — it returns the configured
-  reader WITHOUT calling ``.load()`` (which would attempt a JDBC
-  connection for schema resolution).
+  ``util/DataSourceUtil.java:38-42``). The JDBC builders are
+  config-only in this sandbox (no DB — ``.load()`` would attempt a
+  live connection for schema resolution); :func:`local_shards_scan`
+  EXECUTES the identical topology walk + per-shard predicate/
+  projection pushdown over a filesystem shard layout, so S6's
+  semantics are end-to-end tested.
 * S7/S9 tails: `streaming.stream.start_cdc_stream`.
 * K8 S3/OSS: any writer/reader takes ``s3a://`` paths directly — no
   custom uploader needed (the reference stages to temp files + putObject,
@@ -183,3 +185,52 @@ def jdbc_sharded_readers(
             r = r.option(k, v)
         readers.append(r)
     return readers
+
+
+def local_shards_scan(
+    spark: SparkSession,
+    root: str,
+    logical_table: str,
+    db_count: int,
+    tables_per_db: int,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    fmt: str = "parquet",
+    shard_col: str | None = None,
+    **topology_kwargs,
+) -> DataFrame:
+    """RUNNABLE twin of :func:`jdbc_sharded_readers` over a physical
+    shard layout on any Hadoop-visible filesystem: one directory per
+    physical table at ``<root>/<db>/<table>``, unioned with the SAME
+    per-shard projection + predicate the JDBC path pushes into each
+    shard's SELECT (here they push into each parquet scan —
+    ``PushedFilters`` / ``ReadSchema``, plan-asserted in
+    tests/test_sources_sharding.py). This executes S6's semantics
+    end-to-end where no database is reachable — the reference walks
+    physical tables the same way before fanning out per-shard reads
+    (ref ``worker/export/BaseExportWorker.java:126-180``); in
+    deployment the JDBC builders scan the real shards with identical
+    topology and pushdown.
+
+    ``shard_col`` adds a provenance column naming the physical
+    ``db.table`` each row came from (the reference's per-shard file
+    naming carries the same information). A missing shard directory
+    raises: a vanished physical table is topology corruption, not an
+    empty shard."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    dfs = []
+    for db, tbl in shard_topology(
+        logical_table, db_count, tables_per_db, **topology_kwargs
+    ):
+        df = spark.read.format(fmt).load(f"{root}/{db}/{tbl}")
+        if shard_col:
+            df = df.withColumn(shard_col, F.lit(f"{db}.{tbl}"))
+        if predicate:
+            df = df.filter(predicate)
+        if columns:
+            df = df.select(*(columns + ([shard_col] if shard_col else [])))
+        dfs.append(df)
+    return reduce(lambda a, b: a.unionByName(b), dfs)

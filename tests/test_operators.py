@@ -50,9 +50,12 @@ def test_duplicate_clusters_connected_components(spark):
         [(1, 2), (2, 3), (3, 7), (10, 11), (20, 21), (5, 21)],
         "id_a long, id_b long",
     )
-    got = {r["doc_id"]: r["cluster_id"]
-           for r in dedup.duplicate_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 5, 21: 5, 5: 5}
+    want = {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 5, 21: 5, 5: 5}
+    for dme in (100_000, 0):  # driver union-find AND distributed paths
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(
+                   pairs, driver_max_edges=dme).collect()}
+        assert got == want, dme
 
 
 def test_simhash_identical_and_distance(docs, spark):

@@ -287,6 +287,101 @@ def test_streaming_dedup_gate(spark, tmp_path):
     assert idx_rows == n_acc, "index must hold exactly the accepted docs"
 
 
+def test_dedup_gate_compacts_index_mid_stream(spark, tmp_path):
+    """Gate with ``compact_every_batches``: decisions are identical to
+    the non-compacting gate (same accepted/rejected counts, index holds
+    exactly the accepted docs), the index's small-file growth is folded
+    (fewer parquet files than batches appended), and a compact() that
+    crashed between its two renames (hs missing, _hs_old left behind)
+    is repaired by the next batch's ``idx.repair()`` before the index
+    is read."""
+    import glob as _glob
+    import os as _os
+
+    from polardbx_tools_spark.streaming import start_dedup_stream
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    seg = str(tmp_path / "_seg")
+    d.repartition(6).write.parquet(seg)
+    for i, f in enumerate(sorted(_glob.glob(seg + "/part-*.parquet"))):
+        _os.rename(f, f"{src}/part-{i:04d}.parquet")
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+
+    def run_gate(tag, **extra):
+        kw = dict(
+            index_path=str(tmp_path / f"idx{tag}"),
+            accepted_dir=str(tmp_path / f"acc{tag}"),
+            rejected_dir=str(tmp_path / f"rej{tag}"),
+            checkpoint_dir=str(tmp_path / f"ckpt{tag}"),
+            verify_threshold=0.4,
+            max_files_per_trigger=1,
+            **extra,
+        )
+        q = start_dedup_stream(spark, src, schema, **kw)
+        q.awaitTermination(180)
+        return kw
+
+    plain = run_gate("p")
+    comp = run_gate("c", compact_every_batches=2, compact_target_files=2)
+
+    acc_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(comp["accepted_dir"]).collect()
+    }
+    assert acc_ids == {
+        r["doc_id"]
+        for r in spark.read.parquet(plain["accepted_dir"]).collect()
+    }
+    n_rej = spark.read.parquet(comp["rejected_dir"]).count()
+    assert n_rej == spark.read.parquet(plain["rejected_dir"]).count()
+    assert n_rej > 0
+    hs = spark.read.parquet(comp["index_path"] + "/hs")
+    assert {r["id"] for r in hs.select("id").collect()} == acc_ids
+
+    # small files folded: the final batch (6th, every-2nd) compacts to
+    # target_files=2, so the compacted relation must sit at <= 2 files
+    # while the append-only run holds one file per batch
+    n_files = len(_glob.glob(comp["index_path"] + "/banded/*.parquet"))
+    n_plain = len(_glob.glob(plain["index_path"] + "/banded/*.parquet"))
+    assert n_files <= 2 < n_plain, (n_files, n_plain)
+
+    # crash window: compact died between its two renames — hs is gone,
+    # the backup remains. The next batch must repair, then decide the
+    # new doc against the FULL restored corpus.
+    idxp = comp["index_path"]
+    _os.rename(f"{idxp}/hs", f"{idxp}/_hs_old")
+    dup_src = sorted(acc_ids)[0]
+    dup_text = d.filter(F.col("doc_id") == dup_src).collect()[0]["text"]
+    spark.createDataFrame(
+        [(10_000_001, dup_text)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(
+        spark, src, schema,
+        index_path=idxp,
+        accepted_dir=comp["accepted_dir"],
+        rejected_dir=comp["rejected_dir"],
+        checkpoint_dir=comp["checkpoint_dir"],
+        verify_threshold=0.4,
+        max_files_per_trigger=1,
+        compact_every_batches=2,
+    )
+    q.awaitTermination(180)
+    # the repaired index saw the whole corpus: the duplicate of an
+    # accepted doc is REJECTED (a lost index would have accepted it)
+    rej = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.read.parquet(comp["rejected_dir"]).collect()
+    }
+    assert (10_000_001, dup_src) in rej
+
+
 def test_dedup_gate_chain_rejects_point_at_accepted(spark, tmp_path):
     """A near-dup chain A~B, B~C (A!~C) inside one batch must keep
     exactly the cluster canonical and point every reject at an ACCEPTED
