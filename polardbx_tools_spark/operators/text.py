@@ -140,7 +140,12 @@ def tf_idf_top_terms(
     from pyspark.sql import DataFrame as _DF  # noqa: F401  (doc type only)
     from pyspark.sql.window import Window
 
-    toks = df.select(
+    from polardbx_tools_spark.operators.similarity import _widen_scan
+
+    # widen below the tokenize/explode: a small parquet arrives as one
+    # split and the per-doc regex tokenize then serializes on one core
+    # (no-op at real scale — see _widen_scan)
+    toks = _widen_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
