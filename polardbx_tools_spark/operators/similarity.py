@@ -74,7 +74,12 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # widen below the broadcast join: the per-(corpus row, query) cosine
+    # folds are the compute; a one-split corpus parquet would serialize
+    # them on one core (no-op at real scale — see _widen_scan)
+    c = _widen_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -422,7 +427,10 @@ def ivf_topk(
     # (first index on exact ties == lowest centroid id, mirroring the
     # oracle's ORDER BY score DESC, cid ASC)
     scores = cent_scores(F.col(vec_col))
-    cells = corpus.select(
+    # widen below the cell assignment: n_centroids x dim dots per row
+    # is the compute-heavy step; a one-split corpus parquet would
+    # serialize it on one core (no-op at real scale — see _widen_scan)
+    cells = _widen_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
