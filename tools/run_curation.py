@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--hashes", type=int, default=32)
     ap.add_argument("--bands", type=int, default=8)
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--compact-every-batches", type=int, default=None,
+                    help="fold the index's appended files every N "
+                         "microbatches (long-tail small-file bound)")
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing instead of drain-and-exit")
     args = ap.parse_args()
@@ -70,6 +73,7 @@ def main() -> None:
         bands=args.bands,
         available_now=not args.follow,
         max_files_per_trigger=args.max_files_per_trigger,
+        compact_every_batches=args.compact_every_batches,
     )
     q.awaitTermination()
     if not args.follow:

@@ -97,6 +97,7 @@ def main() -> None:
             spark, tabs, spark.read.parquet(args.changelog),
             batch_lsns=args.batch_lsns, schema_col=args.route_by,
             mode=args.merge_mode, monitor=True,
+            compact_deltas_over=args.compact_deltas_over,
         )
         applied = sum(
             s.upserts + s.deletes
