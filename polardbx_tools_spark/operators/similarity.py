@@ -1056,6 +1056,132 @@ def pq_codes(vec: Column, cb: Column, m: int, ks: int, dsub: int) -> Column:
     return F.array(*[code_for(j) for j in range(m)])
 
 
+def _pq_query_tables(q_rows, books, m: int, ks: int, dsub: int, vec_col: str,
+                     id_col: str):
+    """Driver-side per-query scoring tables: (q_ids, LUTs, per-centroid
+    squared norms, query norms). All fold orders replay the SQL
+    oracle's exactly (see pq_topk's bit-parity note): lut[q][j][c]
+    accumulates q_sub*centroid in zip_with order, cn2 uses the cn2
+    literal's arithmetic, q_norm the sequential _fold_norm."""
+    import numpy as np
+
+    q_ids = np.asarray([r[id_col] for r in q_rows])  # keep the input id dtype
+    nq = len(q_rows)
+    luts = np.zeros((nq, m, ks), dtype=np.float64)
+    for qi, r in enumerate(q_rows):
+        qv = [float(x) for x in r[vec_col]]
+        for j in range(m):
+            acc = np.zeros(ks, dtype=np.float64)
+            for e in range(dsub):  # sequential fold == SQL zip_with sum
+                acc += qv[j * dsub + e] * books[j][:, e]
+            luts[qi, j] = acc
+    cn2_arr = np.array(
+        [[sum(float(x) * float(x) for x in c) for c in book] for book in books],
+        dtype=np.float64,
+    )  # identical arithmetic to the cn2 literal
+    q_norms = np.array(
+        [_fold_norm([float(x) for x in r[vec_col]]) for r in q_rows],
+        dtype=np.float64,
+    )
+    return q_ids, luts, cn2_arr, q_norms
+
+
+def _pq_encode_np(v, bk, m: int, ks: int, dsub: int):
+    """0-based PQ codes for a batch of vectors: per subspace, the
+    sequential-fold d2 to every centroid with first-min tie-break —
+    np.argmin == the SQL oracle's array_position-of-min (1-based there,
+    0-based here)."""
+    import numpy as np
+
+    n = len(v)
+    cmat = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        d2 = np.zeros((n, ks), dtype=np.float64)
+        for e in range(dsub):
+            diff = v[:, j * dsub + e, None] - bk[j, None, :, e]
+            d2 += diff * diff
+        cmat[:, j] = np.argmin(d2, axis=1)
+    return cmat
+
+
+def _pq_prune_frames(c_ids, cmat, ids_b, lut_b, cn2_b, qn_b, m: int,
+                     refine: int):
+    """ADC scores from codes + per-batch top-``refine`` prune, one frame
+    per query. Ties break by neighbor_id ASC — the global shortlist
+    window's tie-break — so pruning can never change final shortlist
+    membership. Self-matches (c_id == query id) are excluded."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(c_ids)
+    frames = []
+    for qi, qid in enumerate(ids_b):
+        acc = np.zeros(n, dtype=np.float64)
+        an2 = np.zeros(n, dtype=np.float64)
+        for j in range(m):  # sequential over subspaces == SQL fold
+            cj = cmat[:, j]
+            acc += lut_b[qi, j, cj]
+            an2 += cn2_b[j, cj]
+        adc = acc / (qn_b[qi] * np.sqrt(an2))
+        cand = np.nonzero(c_ids != qid)[0]
+        if not len(cand):
+            continue
+        order = np.lexsort((c_ids[cand], -adc[cand]))[:refine]
+        top = cand[order]
+        frames.append(pd.DataFrame({
+            "query_id": qid,
+            "neighbor_id": c_ids[top],
+            "adc": adc[top],
+        }))
+    return frames
+
+
+def _pq_rerank(
+    partial: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    refine: int,
+    k: int,
+) -> DataFrame:
+    """Global shortlist window over the pruned ADC partials + exact
+    cosine re-rank: only ``queries x refine`` rows ever touch the full
+    vectors."""
+    from pyspark.sql.window import Window
+
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        partial.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    rescored = (
+        shortlist.join(vecs, on="neighbor_id")
+        .join(q, on="query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1088,8 +1214,6 @@ def pq_topk(
     bounded sample (lowest ids), so the SQL oracle replays the IDENTICAL
     codebooks as literals. Output = exact cosines on the shortlist.
     """
-    from pyspark.sql.window import Window
-
     if refine is None:
         refine = 8 * k
     dsub = dim // m
@@ -1098,13 +1222,6 @@ def pq_topk(
     )
     books = fit_pq_codebooks(
         [list(r[vec_col]) for r in rows], m, ks, seed, n_iters
-    )
-
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-        )
     )
 
     # ENCODE + ADC in ONE numpy pass over Arrow batches of the corpus,
@@ -1136,23 +1253,8 @@ def pq_topk(
     q_rows = sorted(
         queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
     )
-    q_ids = np.asarray([r[id_col] for r in q_rows])  # keep the input id dtype
-    nq = len(q_rows)
-    luts = np.zeros((nq, m, ks), dtype=np.float64)
-    for qi, r in enumerate(q_rows):
-        qv = [float(x) for x in r[vec_col]]
-        for j in range(m):
-            acc = np.zeros(ks, dtype=np.float64)
-            for e in range(dsub):  # sequential fold == SQL zip_with sum
-                acc += qv[j * dsub + e] * books[j][:, e]
-            luts[qi, j] = acc
-    cn2_arr = np.array(
-        [[sum(float(x) * float(x) for x in c) for c in book] for book in books],
-        dtype=np.float64,
-    )  # identical arithmetic to the cn2 literal
-    q_norms = np.array(
-        [_fold_norm([float(x) for x in r[vec_col]]) for r in q_rows],
-        dtype=np.float64,
+    q_ids, luts, cn2_arr, q_norms = _pq_query_tables(
+        q_rows, books, m, ks, dsub, vec_col, id_col
     )
     books64 = np.asarray(books, dtype=np.float64)  # [m, ks, dsub]
     sc = corpus.sparkSession.sparkContext
@@ -1167,35 +1269,10 @@ def pq_topk(
                 continue
             c_ids = pdf[id_col].to_numpy()  # keep the input id dtype
             v = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
-            n = len(c_ids)
-            # encode: per subspace, sequential-fold d2 to every centroid,
-            # first-min code (same arithmetic order as the SQL oracle)
-            cmat = np.empty((n, m), dtype=np.int64)
-            for j in range(m):
-                d2 = np.zeros((n, ks), dtype=np.float64)
-                for e in range(dsub):
-                    diff = v[:, j * dsub + e, None] - bk[j, None, :, e]
-                    d2 += diff * diff
-                cmat[:, j] = np.argmin(d2, axis=1)
-            frames = []
-            for qi, qid in enumerate(ids_b):
-                acc = np.zeros(n, dtype=np.float64)
-                an2 = np.zeros(n, dtype=np.float64)
-                for j in range(m):  # sequential over subspaces == SQL fold
-                    cj = cmat[:, j]
-                    acc += lut_b[qi, j, cj]
-                    an2 += cn2_b[j, cj]
-                adc = acc / (qn_b[qi] * np.sqrt(an2))
-                cand = np.nonzero(c_ids != qid)[0]
-                if not len(cand):
-                    continue
-                order = np.lexsort((c_ids[cand], -adc[cand]))[:refine]
-                top = cand[order]
-                frames.append(pd.DataFrame({
-                    "query_id": qid,
-                    "neighbor_id": c_ids[top],
-                    "adc": adc[top],
-                }))
+            cmat = _pq_encode_np(v, bk, m, ks, dsub)
+            frames = _pq_prune_frames(
+                c_ids, cmat, ids_b, lut_b, cn2_b, qn_b, m, refine
+            )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
@@ -1204,29 +1281,225 @@ def pq_topk(
     ).mapInPandas(
         encode_and_score, _pair_score_schema(corpus, id_col, "adc")
     )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        partial.withColumn("srank", F.row_number().over(w_short))
-        .filter(F.col("srank") <= refine)
-        .select("query_id", "neighbor_id")
-    )
     # exact re-rank: only queries x refine rows touch the full vectors
-    vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    rescored = (
-        shortlist.join(vecs, on="neighbor_id")
-        .join(q.select("query_id", "q_vec"), on="query_id")
-        .select(
-            "query_id", "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    return _pq_rerank(partial, corpus, queries, id_col, vec_col, refine, k)
+
+
+class PqIndex:
+    """Persistent product-quantization CODES index — the materialized
+    form of :func:`pq_topk`'s "persisted codes" note, and the PQ member
+    of the index family (MinHashLshIndex / EmbeddingLshIndex / this):
+
+    * ``meta.json`` — dim/m/ks/seed + the FITTED codebooks, frozen at
+      :meth:`fit` time (atomic write). New batches encode against the
+      frozen books, so codes stay comparable across appends.
+    * ``codes/``  — (id, codes array<int>, 0-based) parquet: the
+      m-ints-per-vector compressed scan (32x smaller than raw f32
+      vectors at dim=64/m=8).
+
+    ``append(batch)`` encodes only the batch (cost ∝ batch);
+    ``topk(queries, corpus)`` ADC-scores queries against the CODES
+    relation with the per-batch top-refine prune, then exact-re-ranks
+    the ``queries x refine`` shortlist against the caller's raw-vector
+    relation — the raw vectors are never scanned for scoring. This is
+    the steady-state ANN shape of an ingest pipeline: the corpus codes
+    are written once and re-read per query wave, instead of re-encoding
+    the corpus per call the way the one-shot operator must.
+
+    Bit-parity: encode/LUT/ADC/prune/re-rank are the SAME helpers
+    pq_topk runs (fold orders documented there), so index-served top-k
+    over the full corpus is IDENTICAL to one-shot ``pq_topk`` fitted on
+    the same sample — asserted in tests, including build-half +
+    append-half ≡ one-shot.
+
+    Crash contract: appends are plain parquet appends — a replayed
+    append may duplicate ids; scoring dedups the shortlist so results
+    are unaffected, and :meth:`compact` (the shared crash-repairable
+    preclean/swap fold) drops duplicate ids and re-buckets by id."""
+
+    META = "meta.json"
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        with open(os.path.join(self.path, self.META)) as f:
+            meta = json.load(f)
+        self.dim = int(meta["dim"])
+        self.m = int(meta["m"])
+        self.ks = int(meta["ks"])
+        self.seed = int(meta["seed"])
+        import numpy as np
+
+        self.books = np.asarray(meta["books"], dtype=np.float64)
+
+    @classmethod
+    def fit(
+        cls,
+        spark,
+        path: str,
+        corpus: DataFrame,
+        dim: int,
+        m: int = 8,
+        ks: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_rows: int = 1024,
+        seed: int = 42,
+        n_iters: int = 10,
+        sample_df: DataFrame | None = None,
+    ) -> "PqIndex":
+        """Fit codebooks over the bounded deterministic sample (lowest
+        ids — a top-k at any scale, same basis as pq_topk), freeze them
+        to meta.json (atomic tmp+rename), and index ``corpus``.
+        ``sample_df`` optionally supplies a different fit basis (e.g.
+        the full historical corpus while only a slice is indexed
+        here)."""
+        import json
+        import os
+
+        rows = (
+            (sample_df if sample_df is not None else corpus)
+            .select(id_col, vec_col)
+            .orderBy(id_col).limit(sample_rows).collect()
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return rescored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+        books = fit_pq_codebooks(
+            [list(r[vec_col]) for r in rows], m, ks, seed, n_iters
+        )
+        os.makedirs(path, exist_ok=True)
+        meta = {"dim": dim, "m": m, "ks": ks, "seed": seed,
+                "books": books.tolist()}
+        tmp = os.path.join(path, cls.META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, cls.META))
+        idx = cls(spark, path)
+        idx.append(corpus, id_col=id_col, vec_col=vec_col)
+        return idx
+
+    def append(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+        """Encode a batch against the frozen codebooks and append its
+        (id, codes) rows — one widened Arrow pass, cost ∝ batch. NULL
+        vectors drop per-row (they are unscorable, matching every
+        operator's degradation)."""
+        import numpy as np
+
+        from pyspark.sql.types import (
+            ArrayType, IntegerType, StructField, StructType,
+        )
+
+        m, ks, dsub = self.m, self.ks, self.dim // self.m
+        id_field = {f.name: f for f in df.schema.fields}[id_col]
+        out_schema = StructType([
+            StructField("id", id_field.dataType, True),
+            StructField("codes", ArrayType(IntegerType()), True),
+        ])
+        bk_b = df.sparkSession.sparkContext.broadcast(self.books)
+
+        def encode(batches):
+            import pandas as pd
+
+            bk = bk_b.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack(
+                    pdf[vec_col].map(np.asarray).values
+                ).astype(np.float64)
+                cmat = _pq_encode_np(v, bk, m, ks, dsub)
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "codes": cmat.astype(np.int32).tolist(),
+                })
+
+        (
+            _widen_scan(
+                df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+            )
+            .mapInPandas(encode, out_schema)
+            .write.mode("append").parquet(f"{self.path}/codes")
+        )
+
+    def compact(self, target_files: int = 8) -> None:
+        """Offline small-file fold (same crash-repairable contract as
+        the LSH indexes): duplicate ids from replayed appends drop, the
+        relation re-buckets by id."""
+        from polardbx_tools_spark.operators.dedup import (
+            _compact_preclean,
+            _compact_swap,
+        )
+
+        cur = f"{self.path}/codes"
+        tmp = f"{self.path}/_codes_compact"
+        old = f"{self.path}/_codes_old"
+        _compact_preclean(cur, tmp, old)
+        df = self.spark.read.parquet(cur).dropDuplicates(["id"])
+        df.repartition(target_files, "id").write.mode("overwrite").parquet(tmp)
+        _compact_swap(cur, tmp, old)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        corpus: DataFrame,
+        k: int = 5,
+        refine: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ADC top-k served from the codes relation: per-query LUTs from
+        the frozen books, numpy gather over each Arrow batch of codes,
+        per-batch top-refine prune, global shortlist, exact cosine
+        re-rank against ``corpus`` (the raw-vector relation — only
+        ``queries x refine`` rows of it are ever read)."""
+        import numpy as np
+
+        if refine is None:
+            refine = 8 * k
+        m, ks, dsub = self.m, self.ks, self.dim // self.m
+        q_rows = sorted(
+            queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
+        )
+        q_ids, luts, cn2_arr, q_norms = _pq_query_tables(
+            q_rows, self.books, m, ks, dsub, vec_col, id_col
+        )
+        sc = self.spark.sparkContext
+        b_lut = sc.broadcast((q_ids, luts, cn2_arr, q_norms))
+
+        def score(batches):
+            import pandas as pd
+
+            ids_b, lut_b, cn2_b, qn_b = b_lut.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                c_ids = pdf["id"].to_numpy()
+                cmat = np.stack(pdf["codes"].map(np.asarray).values).astype(
+                    np.int64
+                )
+                # duplicate ids (replayed appends) would consume prune
+                # slots and push real candidates out of the per-batch
+                # top-refine — keep one row per id inside the batch
+                uniq, first_idx = np.unique(c_ids, return_index=True)
+                if len(uniq) < len(c_ids):
+                    c_ids = c_ids[first_idx]
+                    cmat = cmat[first_idx]
+                frames = _pq_prune_frames(
+                    c_ids, cmat, ids_b, lut_b, cn2_b, qn_b, m, refine
+                )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        codes = self.spark.read.parquet(f"{self.path}/codes")
+        partial = _widen_scan(codes).mapInPandas(
+            score, _pair_score_schema(codes, "id", "adc")
+        )
+        # cross-batch duplicates (a replayed append split over files)
+        # fold here, BEFORE the shortlist window — identical codes give
+        # identical adc, so max() is a pure dedup
+        partial = partial.groupBy("query_id", "neighbor_id").agg(
+            F.max("adc").alias("adc")
+        )
+        return _pq_rerank(partial, corpus, queries, id_col, vec_col, refine, k)

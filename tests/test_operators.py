@@ -616,3 +616,59 @@ def test_numpy_topk_tie_break_matches_exact(spark):
             for r in similarity.brute_force_topk_np(df, q, k=5).collect()]
     assert sorted(exact) == sorted(fast)
     assert sorted(n for n, _ in fast) == [1, 2, 3, 4, 5]  # smallest tied ids win
+
+
+def test_pq_index_serves_identical_topk(spark, tmp_path):
+    """PqIndex (persistent PQ-codes index): top-k served from the codes
+    relation must be IDENTICAL to one-shot pq_topk on the same corpus
+    (same frozen codebooks); building in fit-half + append-half with the
+    same fit basis must equal one build; a replayed (duplicate) append
+    must not change results (shortlist dedup); compact() must drop the
+    duplicate ids and preserve answers; a compact that crashed between
+    its renames is repaired by the next compact()."""
+    import glob as _glob
+    import os as _os
+
+    from polardbx_tools_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 8")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 9))
+            for r in df.collect()
+        )
+
+    want = rows(similarity.pq_topk(e, q, dim=64, k=5, m=8, ks=16, refine=40))
+
+    idx = similarity.PqIndex.fit(spark, str(tmp_path / "full"), e, dim=64)
+    assert rows(idx.topk(q, e, k=5, refine=40)) == want
+
+    # incremental build: fit on the even half with the FULL corpus as
+    # the codebook sample basis, append the odd half
+    inc = similarity.PqIndex.fit(
+        spark, str(tmp_path / "inc"), e.filter("vec_id % 2 = 0"),
+        dim=64, sample_df=e,
+    )
+    inc.append(e.filter("vec_id % 2 = 1"))
+    assert rows(inc.topk(q, e, k=5, refine=40)) == want
+
+    # replayed append: duplicate ids in codes must not perturb top-k
+    inc.append(e.filter("vec_id % 2 = 1"))
+    assert rows(inc.topk(q, e, k=5, refine=40)) == want
+
+    # compaction drops the duplicates and preserves answers
+    n_before = spark.read.parquet(str(tmp_path / "inc") + "/codes").count()
+    inc.compact(target_files=2)
+    codes = spark.read.parquet(str(tmp_path / "inc") + "/codes")
+    assert codes.count() == e.count() < n_before
+    assert len(_glob.glob(str(tmp_path / "inc") + "/codes/*.parquet")) <= 2
+    assert rows(inc.topk(q, e, k=5, refine=40)) == want
+
+    # crash window: swap died between renames (codes missing, _codes_old
+    # left) — the next compact() repairs, answers unchanged
+    _os.rename(str(tmp_path / "inc") + "/codes",
+               str(tmp_path / "inc") + "/_codes_old")
+    inc.compact(target_files=2)
+    assert rows(inc.topk(q, e, k=5, refine=40)) == want

@@ -132,3 +132,50 @@ def test_multi_table_routed_equals_per_route_oracle(
     assert offs[0] == offs[1]
     for p, lsn in st_.global_offsets.items():
         assert offs[0][p] >= lsn
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=1, max_size=40,
+))
+def test_duplicate_clusters_paths_agree_for_any_graph(spark, edges):
+    """BOTH physical paths of duplicate_clusters (driver union-find and
+    distributed min-label propagation) must reach the identical
+    min-reachable-id fixpoint on ANY pair graph — self-loops, duplicate
+    edges, chains, cliques — and match a pure-python BFS oracle."""
+    from polardbx_tools_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    driver = {(r["doc_id"], r["cluster_id"])
+              for r in dedup.duplicate_clusters(pairs).collect()}
+    dist = {(r["doc_id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(
+                pairs, max_iterations=60, driver_max_edges=0).collect()}
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, seen = set(), set()
+    for v in adj:
+        if v in seen:
+            continue
+        comp, stack = {v}, [v]
+        while stack:
+            for y in adj[stack.pop()]:
+                if y not in comp:
+                    comp.add(y)
+                    stack.append(y)
+        seen |= comp
+        m = min(comp)
+        want |= {(u, m) for u in comp}
+    assert driver == want
+    assert dist == want
