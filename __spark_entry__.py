@@ -984,21 +984,42 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
+_PQ_INDEX_CACHE: dict = {}
+
+
 def _q_ann_pq_topk(spark, sf):
-    """Product-quantization ANN (4th strategy: brute/LSH/IVF/PQ): the
-    corpus is encoded once into m=8 codes, ADC-scored against the
-    codes, and the top-40 shortlist re-ranked with exact cosine. Oracle
+    """Product-quantization ANN (4th strategy: brute/LSH/IVF/PQ) through
+    BOTH serving paths in one labelled union: the one-shot operator
+    (encode inline) AND the persistent PqIndex (codebooks frozen to
+    meta.json, corpus materialized once as the 32x-compressed codes
+    parquet, queries ADC-served from codes). Values are identical by
+    construction — the paths share the encode/LUT/ADC/prune/re-rank
+    helpers (pinned in pytest) — so rank stays gate-checkable. Oracle
     replays the deterministic seeded per-subspace k-means fit and embeds
-    the identical codebooks as literals."""
+    the identical codebooks as literals, emitting both labels from one
+    CTE."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
-    out = similarity.pq_topk(e, q, dim=64, k=5, m=8, ks=16, refine=40)
-    return out.select(
+    cols = lambda df, path: df.select(
+        F.lit(path).alias("path"),
         "query_id",
         "neighbor_id",
         F.round("cosine", 4).alias("cos_r"),
         F.col("rank").cast("long").alias("rank"),
     )
+    out1 = similarity.pq_topk(e, q, dim=64, k=5, m=8, ks=16, refine=40)
+    key = (id(spark), sf)
+    idx = _PQ_INDEX_CACHE.get(key)
+    if idx is None:
+        import tempfile
+
+        idx = similarity.PqIndex.fit(
+            spark, tempfile.mkdtemp(prefix="pq_index_gate_"), e,
+            dim=64, m=8, ks=16,
+        )
+        _PQ_INDEX_CACHE[key] = idx
+    out2 = idx.topk(q, e, k=5, refine=40)
+    return cols(out1, "oneshot").unionByName(cols(out2, "index"))
 
 
 def _q_ann_ivf_topk(spark, sf):
@@ -1778,11 +1799,15 @@ def _ann_pq_oracle_sql(dim: int = 64, k: int = 5, m: int = 8, ks: int = 16,
           SELECT s.query_id, s.neighbor_id, {cos} AS cosine
           FROM short s
           JOIN embeddings e2 ON e2.vec_id = s.neighbor_id
-          JOIN q p2 ON p2.query_id = s.query_id)
-        SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
-        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                     ORDER BY cosine DESC, neighbor_id) AS rank FROM rescored)
-        WHERE rank <= {k}
+          JOIN q p2 ON p2.query_id = s.query_id),
+        topk AS (
+          SELECT query_id, neighbor_id, round(cosine, 4) AS cos_r, rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank FROM rescored)
+          WHERE rank <= {k})
+        SELECT 'index' AS path, * FROM topk
+        UNION ALL
+        SELECT 'oneshot' AS path, * FROM topk
     """
 
 
