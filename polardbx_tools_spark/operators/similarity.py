@@ -1105,11 +1105,13 @@ def _pq_encode_np(v, bk, m: int, ks: int, dsub: int):
 
 
 def _pq_prune_frames(c_ids, cmat, ids_b, lut_b, cn2_b, qn_b, m: int,
-                     refine: int):
+                     refine: int, cand_masks=None):
     """ADC scores from codes + per-batch top-``refine`` prune, one frame
     per query. Ties break by neighbor_id ASC — the global shortlist
     window's tie-break — so pruning can never change final shortlist
-    membership. Self-matches (c_id == query id) are excluded."""
+    membership. Self-matches (c_id == query id) are excluded.
+    ``cand_masks`` (optional, one bool array per query over the batch)
+    restricts each query's candidates — the IVF cell-probe hook."""
     import numpy as np
     import pandas as pd
 
@@ -1123,7 +1125,10 @@ def _pq_prune_frames(c_ids, cmat, ids_b, lut_b, cn2_b, qn_b, m: int,
             acc += lut_b[qi, j, cj]
             an2 += cn2_b[j, cj]
         adc = acc / (qn_b[qi] * np.sqrt(an2))
-        cand = np.nonzero(c_ids != qid)[0]
+        keep = c_ids != qid
+        if cand_masks is not None:
+            keep &= cand_masks[qi]
+        cand = np.nonzero(keep)[0]
         if not len(cand):
             continue
         order = np.lexsort((c_ids[cand], -adc[cand]))[:refine]
@@ -1499,6 +1504,247 @@ class PqIndex:
         # cross-batch duplicates (a replayed append split over files)
         # fold here, BEFORE the shortlist window — identical codes give
         # identical adc, so max() is a pure dedup
+        partial = partial.groupBy("query_id", "neighbor_id").agg(
+            F.max("adc").alias("adc")
+        )
+        return _pq_rerank(partial, corpus, queries, id_col, vec_col, refine, k)
+
+
+class IvfPqIndex:
+    """IVF + PQ persistent index — the composition the ANN family's
+    docstrings promise ("PQ compresses the scan; IVF prunes it"), and
+    the canonical 10^10-vector serving shape (FAISS-IVFPQ's layout,
+    rebuilt Spark-first):
+
+    * ``meta.json`` — dim / nlist / m / ks / seed, the fitted COARSE
+      centroids (seeded spherical k-means, :func:`fit_spherical_kmeans`)
+      and the fitted PQ codebooks (:func:`fit_pq_codebooks`), both
+      frozen at :meth:`fit` time.
+    * ``codes/cell=<c>/`` — (id, codes) parquet HIVE-PARTITIONED BY
+      CELL: a query wave probing ``n_probe`` of ``nlist`` cells reads
+      only those directories (partition pruning — the scan is
+      ``n_probe/nlist`` of the corpus BEFORE the 32x code compression
+      multiplies in).
+
+    ``topk(queries, corpus)``: each query's ``n_probe`` best cells are
+    chosen driver-side by the same centroid-score rule as
+    :func:`ivf_topk` (dot/|centroid|, first index on ties); the codes
+    scan is filtered to the UNION of probed cells (pruned read), each
+    query ADC-scores only rows inside its own probed cells
+    (per-query candidate masks), and the global shortlist re-ranks with
+    exact cosine against the caller's raw vectors. With
+    ``n_probe = nlist`` results are IDENTICAL to :class:`PqIndex` /
+    :func:`pq_topk` (asserted in tests); smaller ``n_probe`` trades
+    recall for a proportionally pruned scan — the IVF contract.
+
+    ``append(batch)`` assigns cells + encodes against the frozen fits
+    (cost ∝ batch). Duplicate-append and crash contracts mirror
+    :class:`PqIndex` (per-batch id dedup + pre-shortlist fold;
+    compact() via the shared preclean/swap helpers, per relation)."""
+
+    META = "meta.json"
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        import numpy as np
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        with open(os.path.join(self.path, self.META)) as f:
+            meta = json.load(f)
+        self.dim = int(meta["dim"])
+        self.nlist = int(meta["nlist"])
+        self.m = int(meta["m"])
+        self.ks = int(meta["ks"])
+        self.seed = int(meta["seed"])
+        self.cents = np.asarray(meta["cents"], dtype=np.float64)
+        self.cnorms = np.asarray(
+            [_fold_norm(list(c)) for c in meta["cents"]], dtype=np.float64
+        )
+        self.books = np.asarray(meta["books"], dtype=np.float64)
+
+    @classmethod
+    def fit(
+        cls,
+        spark,
+        path: str,
+        corpus: DataFrame,
+        dim: int,
+        nlist: int = 16,
+        m: int = 8,
+        ks: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_rows: int = 1024,
+        seed: int = 42,
+        n_iters: int = 10,
+        sample_df: DataFrame | None = None,
+    ) -> "IvfPqIndex":
+        import json
+        import os
+
+        rows = (
+            (sample_df if sample_df is not None else corpus)
+            .select(id_col, vec_col)
+            .orderBy(id_col).limit(sample_rows).collect()
+        )
+        sample = [list(r[vec_col]) for r in rows]
+        cents = fit_spherical_kmeans(sample, nlist, seed, n_iters)
+        books = fit_pq_codebooks(sample, m, ks, seed, n_iters)
+        os.makedirs(path, exist_ok=True)
+        meta = {"dim": dim, "nlist": nlist, "m": m, "ks": ks, "seed": seed,
+                "cents": cents.tolist(), "books": books.tolist()}
+        tmp = os.path.join(path, cls.META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, cls.META))
+        idx = cls(spark, path)
+        idx.append(corpus, id_col=id_col, vec_col=vec_col)
+        return idx
+
+    def _cell_scores(self, v):
+        """dot(v, centroid)/|centroid| per centroid — the same score
+        :func:`ivf_topk`'s cent_scores expression computes (|v| is
+        common per row, cannot change an argmax or a per-query rank)."""
+        return (v @ self.cents.T) / self.cnorms[None, :]
+
+    def append(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+        import numpy as np
+
+        from pyspark.sql.types import (
+            ArrayType, IntegerType, StructField, StructType,
+        )
+
+        m, ks, dsub = self.m, self.ks, self.dim // self.m
+        id_field = {f.name: f for f in df.schema.fields}[id_col]
+        out_schema = StructType([
+            StructField("id", id_field.dataType, True),
+            StructField("cell", IntegerType(), True),
+            StructField("codes", ArrayType(IntegerType()), True),
+        ])
+        b = df.sparkSession.sparkContext.broadcast(
+            (self.cents, self.cnorms, self.books)
+        )
+
+        def encode(batches):
+            import pandas as pd
+
+            cents, cnorms, bk = b.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack(
+                    pdf[vec_col].map(np.asarray).values
+                ).astype(np.float64)
+                scores = (v @ cents.T) / cnorms[None, :]
+                cell = np.argmax(scores, axis=1)  # first max == first tie
+                cmat = _pq_encode_np(v, bk, m, ks, dsub)
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "cell": cell.astype(np.int32),
+                    "codes": cmat.astype(np.int32).tolist(),
+                })
+
+        (
+            _widen_scan(
+                df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+            )
+            .mapInPandas(encode, out_schema)
+            .write.mode("append").partitionBy("cell")
+            .parquet(f"{self.path}/codes")
+        )
+
+    def compact(self, target_files_per_cell: int = 1) -> None:
+        """Offline per-cell small-file fold, crash-repairable via the
+        shared preclean/swap helpers; duplicate ids drop."""
+        from polardbx_tools_spark.operators.dedup import (
+            _compact_preclean,
+            _compact_swap,
+        )
+
+        cur = f"{self.path}/codes"
+        tmp = f"{self.path}/_codes_compact"
+        old = f"{self.path}/_codes_old"
+        _compact_preclean(cur, tmp, old)
+        df = self.spark.read.parquet(cur).dropDuplicates(["id"])
+        (
+            df.repartition(target_files_per_cell * self.nlist, "cell", "id")
+            .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        )
+        _compact_swap(cur, tmp, old)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        corpus: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        refine: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        import numpy as np
+
+        if refine is None:
+            refine = 8 * k
+        m, ks, dsub = self.m, self.ks, self.dim // self.m
+        q_rows = sorted(
+            queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
+        )
+        q_ids, luts, cn2_arr, q_norms = _pq_query_tables(
+            q_rows, self.books, m, ks, dsub, vec_col, id_col
+        )
+        qv = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+        scores = self._cell_scores(qv)  # [nq, nlist]
+        # n_probe best cells per query: score DESC, cell index ASC on
+        # ties — ivf_topk's (s desc, pos asc) window order
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(self.nlist), scores.shape), -scores),
+            axis=1,
+        )
+        probed = order[:, :n_probe]  # [nq, n_probe]
+        probe_sets = [frozenset(int(c) for c in row) for row in probed]
+        all_cells = sorted({c for s in probe_sets for c in s})
+        sc = self.spark.sparkContext
+        b = sc.broadcast((q_ids, luts, cn2_arr, q_norms, probe_sets))
+
+        def score(batches):
+            import pandas as pd
+
+            ids_b, lut_b, cn2_b, qn_b, probes = b.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                c_ids = pdf["id"].to_numpy()
+                c_cells = pdf["cell"].to_numpy()
+                cmat = np.stack(pdf["codes"].map(np.asarray).values).astype(
+                    np.int64
+                )
+                uniq, first_idx = np.unique(c_ids, return_index=True)
+                if len(uniq) < len(c_ids):
+                    c_ids, c_cells = c_ids[first_idx], c_cells[first_idx]
+                    cmat = cmat[first_idx]
+                masks = [
+                    np.isin(c_cells, list(probes[qi]))
+                    for qi in range(len(ids_b))
+                ]
+                frames = _pq_prune_frames(
+                    c_ids, cmat, ids_b, lut_b, cn2_b, qn_b, m, refine,
+                    cand_masks=masks,
+                )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        codes = self.spark.read.parquet(f"{self.path}/codes")
+        # the isin filter prunes hive partitions: the scan reads ONLY
+        # the probed cells' directories (plan-asserted in tests)
+        pruned = codes.filter(F.col("cell").isin([int(c) for c in all_cells]))
+        partial = _widen_scan(pruned).mapInPandas(
+            score, _pair_score_schema(codes, "id", "adc")
+        )
         partial = partial.groupBy("query_id", "neighbor_id").agg(
             F.max("adc").alias("adc")
         )

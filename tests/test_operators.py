@@ -672,3 +672,83 @@ def test_pq_index_serves_identical_topk(spark, tmp_path):
                str(tmp_path / "inc") + "/_codes_old")
     inc.compact(target_files=2)
     assert rows(inc.topk(q, e, k=5, refine=40)) == want
+
+
+def test_ivfpq_index_prunes_cells_and_matches_reference(spark, tmp_path):
+    """IvfPqIndex: (a) probing ALL cells must reproduce pq_topk exactly
+    (IVF prunes candidates, never changes scoring); (b) the codes scan
+    must be hive-partition-PRUNED to the probed cells; (c) a pruned
+    probe must match an independent numpy reference implementation of
+    IVF-PQ (cells by max centroid score, ADC over codes in probed
+    cells, exact re-rank)."""
+    import numpy as np
+
+    from polardbx_tools_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 6")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 9))
+            for r in df.collect()
+        )
+
+    idx = similarity.IvfPqIndex.fit(
+        spark, str(tmp_path / "ivfpq"), e, dim=64, nlist=8, m=8, ks=16
+    )
+    # (a) full probe == one-shot PQ (same frozen sample/seed -> books)
+    assert rows(idx.topk(q, e, k=5, n_probe=8, refine=40)) == rows(
+        similarity.pq_topk(e, q, dim=64, k=5, m=8, ks=16, refine=40)
+    )
+
+    # (b) the pruned scan reads only the probed cells' partitions
+    pruned_df = idx.topk(q, e, k=5, n_probe=2, refine=40)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters: [")
+    assert len(seg) > 1 and "cell" in seg[1][:120], plan
+
+    # (c) independent numpy reference for the pruned probe
+    vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in e.collect()}
+    ids = sorted(vec)
+    V = np.stack([vec[i] for i in ids])
+    cents, cnorms, books = idx.cents, idx.cnorms, idx.books
+    nlist, m, dsub = 8, 8, 8
+    cell = np.argmax(V @ cents.T / cnorms, axis=1)
+    codes = np.stack([
+        ((V[:, None, j * dsub:(j + 1) * dsub] - books[j][None]) ** 2)
+        .sum(axis=2).argmin(axis=1)
+        for j in range(m)
+    ], axis=1)
+    cn2 = np.array([[float((c * c).sum()) for c in books[j]]
+                    for j in range(m)])
+    want = set()
+    for qid in range(6):
+        qv = vec[qid]
+        qs = qv @ cents.T / cnorms
+        probes = sorted(range(nlist), key=lambda c: (-qs[c], c))[:2]
+        cand = [i for i, cid in enumerate(ids)
+                if cell[i] in probes and cid != qid]
+        lut = np.stack([qv[j * dsub:(j + 1) * dsub] @ books[j].T
+                        for j in range(m)])
+        qn = float(np.sqrt((qv * qv).sum()))
+        adc = {
+            ids[i]: float(
+                sum(lut[j, codes[i, j]] for j in range(m))
+                / (qn * np.sqrt(sum(cn2[j, codes[i, j]] for j in range(m))))
+            )
+            for i in cand
+        }
+        short = sorted(adc, key=lambda n: (-adc[n], n))[:40]
+        cos = {
+            n: float(vec[qid] @ vec[n]
+                     / (np.linalg.norm(vec[qid]) * np.linalg.norm(vec[n])))
+            for n in short
+        }
+        for rank, n in enumerate(
+            sorted(cos, key=lambda n: (-cos[n], n))[:5], start=1
+        ):
+            want.add((qid, n, rank, round(cos[n], 6)))
+    got = {(a, b, r, round(c, 6)) for a, b, r, c in rows(pruned_df)}
+    assert got == want
