@@ -746,8 +746,10 @@ def _q_range_join_windows(spark, sf):
 
 def _q_text_metrics(spark, sf):
     """Per-doc text analysis bundle: token counts (whitespace + BPE-ish
-    estimate) and quality signals (stopword/punct ratios, mean word
-    length, composite score) — one projection, no shuffle."""
+    estimate), quality signals (stopword/punct ratios, mean word
+    length, composite score), and Gopher-style intra-document
+    REPETITION signals (duplicate-line fraction, duplicate-2-gram
+    fraction, top-2-gram fraction) — one projection, no shuffle."""
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
@@ -757,6 +759,9 @@ def _q_text_metrics(spark, sf):
         F.round(text.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(text.mean_word_len(F.col("text")), 6).alias("mean_wlen"),
         F.round(text.quality_score(F.col("text")), 2).alias("quality"),
+        F.round(text.dup_line_fraction(F.col("text")), 6).alias("dup_line_frac"),
+        F.round(text.dup_ngram_fraction(F.col("text"), 2), 6).alias("dup_2gram_frac"),
+        F.round(text.top_ngram_fraction(F.col("text"), 2), 6).alias("top_2gram_frac"),
     )
 
 
@@ -1461,7 +1466,14 @@ def oracle_sql() -> dict[str, str]:
                      {_TOKS} AS toks,
                      {_TOKS_L} AS toks_l,
                      length(text) AS n_chars,
-                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct
+                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                 x -> trim(x)), x -> x <> '') AS lines,
+                     CASE WHEN len({_TOKS_L}) >= 2
+                          THEN list_transform(
+                               generate_series(1, len({_TOKS_L}) - 1),
+                               i -> {_TOKS_L}[i] || ' ' || {_TOKS_L}[i + 1])
+                          ELSE [] END AS g2
               FROM documents)
             SELECT doc_id,
                    CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -1485,7 +1497,17 @@ def oracle_sql() -> dict[str, str]:
                      (CASE WHEN n_chars > 0 AND
                            (n_chars - n_nopunct) * 1.0 / n_chars <= 0.2
                            THEN 0.25
-                           WHEN n_chars = 0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+                           WHEN n_chars = 0 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+                   round(CASE WHEN len(lines) > 0
+                         THEN 1 - len(list_distinct(lines)) * 1.0 / len(lines)
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN len(g2) > 0
+                         THEN 1 - len(list_distinct(g2)) * 1.0 / len(g2)
+                         ELSE 0.0 END, 6) AS dup_2gram_frac,
+                   round(CASE WHEN len(g2) > 0
+                         THEN list_max(list_transform(list_distinct(g2),
+                              x -> len(list_filter(g2, y -> y = x)))) * 1.0 / len(g2)
+                         ELSE 0.0 END, 6) AS top_2gram_frac
             FROM t
         """,
         "text_lang_id": f"""

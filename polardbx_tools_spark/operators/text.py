@@ -95,6 +95,84 @@ def quality_score(col: Column) -> Column:
     return (len_ok + stop_ok + wl_ok + punct_ok).cast("double")
 
 
+def _lines(col: Column) -> Column:
+    """Non-empty trimmed lines (empty-safe)."""
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda t: F.trim(t)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Intra-document repetition signal (Gopher-style repetition
+    filter): fraction of non-empty lines that repeat an earlier line,
+    ``1 - distinct_lines/total_lines``. Boilerplate-heavy or
+    template-generated pages score high and get filtered before
+    training. Pure expression — no shuffle, no UDF."""
+    l = _lines(col)
+    return (
+        F.when(
+            F.size(l) > 0,
+            F.lit(1) - F.size(F.array_distinct(l)) / F.size(l),
+        ).otherwise(F.lit(0.0))
+    ).cast("double")
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams of the lowercased token stream, WITH repeats
+    (repetition metrics need the multiset; dedup shingles live in
+    dedup.shingles)."""
+    toks = tokens(F.lower(col))
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - F.lit(n)),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram —
+    the n-gram-level repetition filter (catches looped phrases a
+    line-level check misses)."""
+    g = word_ngrams(col, n)
+    return (
+        F.when(
+            F.size(g) > 0,
+            F.lit(1) - F.size(F.array_distinct(g)) / F.size(g),
+        ).otherwise(F.lit(0.0))
+    ).cast("double")
+
+
+def top_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of the document's word n-grams taken by its single MOST
+    FREQUENT n-gram (Gopher's top-n-gram rule): a page dominated by one
+    repeated phrase scores near 1. Computed as the longest run of the
+    SORTED n-gram array via one struct fold — O(g log g) per document
+    (the naive per-distinct-gram count is O(g^2), unusable on long
+    documents)."""
+    g = F.array_sort(word_ngrams(col, n))
+    run = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+    acc = F.aggregate(
+        g,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run(a, x).alias("run"),
+            F.greatest(a["best"], run(a, x)).alias("best"),
+        ),
+    )
+    return (
+        F.when(F.size(g) > 0, acc["best"] / F.size(g)).otherwise(F.lit(0.0))
+    ).cast("double")
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, strip
     punctuation, collapse whitespace. The corpus analog of frodo's SQL

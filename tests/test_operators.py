@@ -752,3 +752,35 @@ def test_ivfpq_index_prunes_cells_and_matches_reference(spark, tmp_path):
             want.add((qid, n, rank, round(cos[n], 6)))
     got = {(a, b, r, round(c, 6)) for a, b, r, c in rows(pruned_df)}
     assert got == want
+
+
+def test_intra_doc_repetition_metrics(spark):
+    """Gopher-style repetition signals on planted documents: duplicate
+    line fraction, duplicate 2-gram fraction, and top-2-gram fraction
+    (longest-sorted-run fold) must match hand-computed values."""
+    from polardbx_tools_spark.operators import text as T
+
+    rows = [
+        (1, "a b\na b\nc d"),        # dup line 1/3; grams [ab,ba,ab,bc,cd]
+        (2, "x"),                     # no 2-grams, one line
+        (3, ""),                      # empty everything
+        (4, "spam spam spam spam"),   # one gram repeated 3x
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            round(r["dl"], 6), round(r["dg"], 6), round(r["tg"], 6)
+        )
+        for r in df.select(
+            "doc_id",
+            T.dup_line_fraction(F.col("text")).alias("dl"),
+            T.dup_ngram_fraction(F.col("text"), 2).alias("dg"),
+            T.top_ngram_fraction(F.col("text"), 2).alias("tg"),
+        ).collect()
+    }
+    assert got == {
+        1: (round(1 - 2 / 3, 6), round(1 - 4 / 5, 6), round(2 / 5, 6)),
+        2: (0.0, 0.0, 0.0),
+        3: (0.0, 0.0, 0.0),
+        4: (0.0, round(1 - 1 / 3, 6), 1.0),
+    }
