@@ -909,6 +909,18 @@ class EmbeddingLshIndex:
         ).parquet(f"{self.path}/vecs")
         banded.unpersist()
 
+    def repair(self) -> None:
+        """Repair any crashed :meth:`compact` BEFORE reading the index
+        (mirrors MinHashLshIndex.repair — directory checks only)."""
+        from polardbx_tools_spark.operators.dedup import _compact_preclean
+
+        for rel in ("banded", "vecs"):
+            _compact_preclean(
+                f"{self.path}/{rel}",
+                f"{self.path}/_{rel}_compact",
+                f"{self.path}/_{rel}_old",
+            )
+
     def compact(self, target_files: int = 8) -> None:
         """Offline small-file fold (same contract as
         MinHashLshIndex.compact): re-runnable after any crash via the

@@ -460,3 +460,189 @@ def start_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_embedding_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    index_path: str,
+    accepted_dir: str,
+    rejected_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
+    compact_every_batches: int | None = None,
+    compact_target_files: int = 8,
+) -> StreamingQuery:
+    """Streaming EMBEDDING-dedup gate — the vector-space twin of
+    :func:`start_dedup_stream`: tail a directory of embedding rows and
+    reject each microbatch's cosine-near-duplicates against everything
+    accepted so far (semantic dedup: paraphrases and re-encodes that
+    text shingles miss).
+
+    Per microbatch the batch's sign-mask band relation is derived ONCE
+    (:class:`~polardbx_tools_spark.operators.similarity.EmbeddingLshIndex`)
+    and reused by every step:
+
+    1. batch vs the persistent index — candidates from bucket
+       collisions in ANY hash table, verified with exact cosine >=
+       ``threshold`` (cost ∝ batch x collisions; the corpus side is the
+       materialized banded/vecs parquet, never re-masked);
+    2. batch-internal near-dup CLUSTERS (connected components over the
+       verified intra-batch pair graph): one canonical per cluster —
+       the lowest id not already rejected against the index — is kept,
+       the rest reject against it, so every ``dup_of`` is an ACCEPTED
+       row (same chain-reject rule as the text gate);
+    3. rejected rows land with their ``dup_of``; accepted rows land in
+       ``accepted_dir`` AND append to the index (banded first, vecs
+       second — presence in vecs is the replay guard's "indexed"
+       signal, so a crash between the writes re-derives the batch).
+
+    Replay idempotence mirrors the text gate: a replayed microbatch is
+    anti-joined against indexed ∪ rejected ids before anything runs.
+    ``compact_every_batches`` folds the index's small files every N
+    batches (``EmbeddingLshIndex.compact``; a crashed fold is healed by
+    ``repair()`` at the next batch)."""
+    from polardbx_tools_spark.operators.dedup import duplicate_clusters
+    from polardbx_tools_spark.operators.similarity import (
+        EmbeddingLshIndex, cosine_with_norms,
+    )
+
+    idx = EmbeddingLshIndex(
+        spark, index_path, dim=dim, n_planes=n_planes, n_tables=n_tables
+    )
+
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+
+    def apply(batch_df, batch_id: int) -> None:
+        if compact_every_batches:
+            idx.repair()
+        have_index = _fs_exists(spark, f"{idx.path}/vecs")
+        seen = None
+        if have_index:
+            seen = spark.read.parquet(f"{idx.path}/vecs").select(
+                F.col("id").alias(id_col)
+            )
+        if _fs_exists(spark, rejected_dir):
+            rej_ids = spark.read.parquet(rejected_dir).select(id_col)
+            seen = rej_ids if seen is None else seen.unionByName(rej_ids)
+        if seen is not None:
+            batch_df = batch_df.join(seen, on=id_col, how="left_anti")
+        batch_df = batch_df.persist()
+        to_unpersist = [batch_df]
+        try:
+            banded_new = idx._derive(batch_df, id_col, vec_col).persist()
+            to_unpersist.append(banded_new)
+            vecs_new = banded_new.filter(F.col("t") == 0).select(
+                "id", "v", "nv"
+            )
+
+            def verify(cands, a_col, b_col, vecs_right):
+                return (
+                    cands
+                    .join(vecs_new.select(F.col("id").alias(a_col),
+                                          F.col("v").alias("v_a"),
+                                          F.col("nv").alias("n_a")), on=a_col)
+                    .join(vecs_right.select(F.col("id").alias(b_col),
+                                            F.col("v").alias("v_b"),
+                                            F.col("nv").alias("n_b")), on=b_col)
+                    .filter(
+                        cosine_with_norms(
+                            F.col("v_a"), F.col("v_b"),
+                            F.col("n_a"), F.col("n_b"),
+                        ) >= threshold
+                    )
+                    .select(a_col, b_col)
+                )
+
+            if have_index:
+                banded_old = spark.read.parquet(f"{idx.path}/banded")
+                vecs_old = spark.read.parquet(f"{idx.path}/vecs")
+                cands = (
+                    banded_new.select(F.col("id").alias(id_col), "t", "bucket")
+                    .join(banded_old.select(F.col("id").alias("dup_of"),
+                                            "t", "bucket"),
+                          on=["t", "bucket"])
+                    .select(id_col, "dup_of")
+                    .distinct()
+                )
+                vs_index = (
+                    verify(cands, id_col, "dup_of", vecs_old)
+                    .groupBy(id_col)
+                    .agg(F.min("dup_of").alias("dup_of"))
+                    .persist()
+                )
+                to_unpersist.append(vs_index)
+            else:
+                vs_index = None
+            a = banded_new.select(F.col("id").alias("id_a"), "t", "bucket")
+            b = banded_new.select(F.col("id").alias("id_b"), "t", "bucket")
+            cands = (
+                a.join(b, on=["t", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            pairs = verify(cands, "id_a", "id_b", vecs_new)
+            clusters = duplicate_clusters(pairs)
+            members = (
+                clusters.withColumnRenamed("doc_id", id_col)
+                if vs_index is None
+                else clusters.withColumnRenamed("doc_id", id_col)
+                .join(vs_index.select(id_col), on=id_col, how="left_anti")
+            )
+            canon = members.groupBy("cluster_id").agg(
+                F.min(id_col).alias("dup_of")
+            )
+            intra = (
+                members.join(canon, on="cluster_id")
+                .filter(F.col(id_col) != F.col("dup_of"))
+                .select(id_col, "dup_of")
+            )
+            rejects = intra if vs_index is None else vs_index.unionByName(intra)
+            rejects = rejects.persist()
+            to_unpersist.append(rejects)
+            rejected = batch_df.join(rejects, on=id_col, how="inner")
+            accepted = batch_df.join(
+                rejects.select(id_col), on=id_col, how="left_anti"
+            )
+            rejected.write.mode("append").parquet(rejected_dir)
+            accepted.write.mode("append").parquet(accepted_dir)
+            keep = F.broadcast(accepted.select(F.col(id_col).alias("id")))
+            banded_acc = banded_new.join(keep, on="id")
+            banded_acc.select("id", "t", "bucket").write.mode(
+                "append"
+            ).parquet(f"{idx.path}/banded")
+            banded_acc.filter(F.col("t") == 0).select(
+                "id", "v", "nv"
+            ).write.mode("append").parquet(f"{idx.path}/vecs")
+            if (
+                compact_every_batches
+                and (batch_id + 1) % compact_every_batches == 0
+                and _fs_exists(spark, f"{idx.path}/vecs")
+                and _fs_exists(spark, f"{idx.path}/banded")
+            ):
+                idx.compact(target_files=compact_target_files)
+        finally:
+            for df_ in to_unpersist:
+                df_.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

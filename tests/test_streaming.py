@@ -419,3 +419,88 @@ def test_dedup_gate_chain_rejects_point_at_accepted(spark, tmp_path):
     assert len(acc) + len(rej) == 3
     for _, dup_of in rej:
         assert dup_of in acc, (acc, rej)
+
+
+def test_streaming_embedding_dedup_gate(spark, tmp_path):
+    """Embedding-dedup gate (vector twin of the text gate): after the
+    drain the accepted corpus holds NO cosine-near-dup pair at the
+    threshold, every reject points at an ACCEPTED row with a verified
+    near-dup, mid-stream index compaction happens, and a full replay
+    from a fresh checkpoint is a no-op (id-level idempotence)."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as np
+
+    from polardbx_tools_spark.operators import similarity
+    from polardbx_tools_spark.streaming import start_embedding_dedup_stream
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 2 == 0:  # plant a near-dup for every even base vector
+            rows.append(
+                (1000 + i, [float(x) for x in v + rng.randn(16) * 0.01])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    seg = str(tmp_path / "_seg")
+    df.repartition(4).write.parquet(seg)
+    for i, f in enumerate(sorted(_glob.glob(seg + "/part-*.parquet"))):
+        _os.rename(f, f"{src}/part-{i:04d}.parquet")
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    kw = dict(
+        index_path=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+        rejected_dir=str(tmp_path / "rej"),
+        dim=16,
+        threshold=0.9,
+        n_planes=3,
+        n_tables=8,
+        max_files_per_trigger=1,
+        compact_every_batches=2,
+        compact_target_files=2,
+    )
+    q = start_embedding_dedup_stream(
+        spark, src, schema, checkpoint_dir=str(tmp_path / "ckpt"), **kw
+    )
+    q.awaitTermination(180)
+
+    acc = spark.read.parquet(str(tmp_path / "acc"))
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    n_acc, n_rej = acc.count(), rej.count()
+    assert n_acc + n_rej == len(rows)
+    assert n_rej > 0, "planted near-dups; gate rejected none"
+
+    # accepted corpus is clean at the gate's threshold
+    left = similarity.cosine_near_dup_pairs(
+        acc, dim=16, threshold=0.9, n_planes=3, n_tables=8
+    ).count()
+    assert left == 0, f"{left} near-dup pairs survived the gate"
+
+    # every reject points at an ACCEPTED row
+    joined = rej.join(acc.select(F.col("vec_id").alias("dup_of")), on="dup_of")
+    assert joined.count() == n_rej
+
+    # index holds exactly the accepted rows; compaction folded files
+    vecs = spark.read.parquet(str(tmp_path / "idx") + "/vecs")
+    assert vecs.count() == n_acc
+    assert len(_glob.glob(str(tmp_path / "idx") + "/vecs/*.parquet")) <= 2
+
+    # replay with a fresh checkpoint: the id guard makes it a no-op
+    q2 = start_embedding_dedup_stream(
+        spark, src, schema, checkpoint_dir=str(tmp_path / "ckpt2"), **kw
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "acc")).count() == n_acc
+    assert spark.read.parquet(str(tmp_path / "rej")).count() == n_rej
