@@ -44,16 +44,62 @@ def main() -> None:
     ap.add_argument("--compact-every-batches", type=int, default=None,
                     help="fold the index's appended files every N "
                          "microbatches (long-tail small-file bound)")
+    ap.add_argument("--mode", choices=("text", "embedding"), default="text",
+                    help="text: minhash-jaccard gate over --text-col; "
+                         "embedding: cosine near-dup gate over --vec-col")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--dim", type=int, default=64,
+                    help="embedding dimension (embedding mode)")
+    ap.add_argument("--planes", type=int, default=3)
+    ap.add_argument("--tables", type=int, default=8)
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing instead of drain-and-exit")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StringType, StructField, StructType,
+    )
 
-    from polardbx_tools_spark.streaming import start_dedup_stream
+    from polardbx_tools_spark.streaming import (
+        start_dedup_stream,
+        start_embedding_dedup_stream,
+    )
 
     spark = SparkSession.builder.getOrCreate()  # master/conf from spark-submit
+    if args.mode == "embedding":
+        schema = StructType([
+            StructField(args.id_col, LongType()),
+            StructField(args.vec_col, ArrayType(FloatType())),
+        ])
+        q = start_embedding_dedup_stream(
+            spark,
+            args.source,
+            schema,
+            index_path=args.index,
+            accepted_dir=args.accepted,
+            rejected_dir=args.rejected,
+            checkpoint_dir=args.checkpoint,
+            dim=args.dim,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            threshold=args.threshold,
+            n_planes=args.planes,
+            n_tables=args.tables,
+            available_now=not args.follow,
+            max_files_per_trigger=args.max_files_per_trigger,
+            compact_every_batches=args.compact_every_batches,
+        )
+        q.awaitTermination()
+        if not args.follow:
+            from polardbx_tools_spark.streaming.stream import _fs_exists
+
+            acc = spark.read.parquet(args.accepted).count() \
+                if _fs_exists(spark, args.accepted) else 0
+            rej = spark.read.parquet(args.rejected).count() \
+                if _fs_exists(spark, args.rejected) else 0
+            print(f"done: {acc} accepted, {rej} rejected")
+        return
     schema = StructType([
         StructField(args.id_col, LongType()),
         StructField(args.text_col, StringType()),
