@@ -54,10 +54,15 @@ def extract_features(
 
     Arrow streams column batches into Python; each pandas chunk is
     processed whole (vectorized setup cost amortized across the batch,
-    never per-row Python in the Spark plan). Partitioning is inherited —
-    repartition upstream by size if payloads are skewed.
+    never per-row Python in the Spark plan). A one-split source widens
+    to core count first (decode is the compute-heavy step — see
+    similarity._widen_scan; no-op at real scale); repartition upstream
+    by size if payloads are skewed.
     """
     from polardbx_tools_spark.operators import codecs
+    from polardbx_tools_spark.operators.similarity import _widen_scan
+
+    media = _widen_scan(media)
 
     fn = decode_fn or (lambda p: codecs.feature_vector(p, feature_dim))
 
@@ -97,6 +102,9 @@ def resize_images(
         from polardbx_tools_spark.operators import codecs
 
         resize_fn = codecs.resize_image
+    from polardbx_tools_spark.operators.similarity import _widen_scan
+
+    media = _widen_scan(media)
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
