@@ -788,8 +788,10 @@ def _minhash_pairs_shared(spark, sf):
     ``minhash_lsh_pairs(d, 32, 8, 0.4)`` relation, and each gate query
     used to re-shingle + re-band the whole corpus from scratch
     (round-4 verdict watch-item). The feed is tiny (∝ duplicate pairs),
-    so persisting it is free; a different session or sf dir recomputes."""
-    key = (id(spark), sf)
+    so persisting it is free; a different session or sf dir recomputes
+    (keyed by applicationId — unique per session, unlike id(spark),
+    which CPython can reuse after a stopped session is collected)."""
+    key = (spark.sparkContext.applicationId, sf)
     hit = _MINHASH_PAIRS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -1013,7 +1015,7 @@ def _q_ann_pq_topk(spark, sf):
         F.col("rank").cast("long").alias("rank"),
     )
     out1 = similarity.pq_topk(e, q, dim=64, k=5, m=8, ks=16, refine=40)
-    key = (id(spark), sf)
+    key = (spark.sparkContext.applicationId, sf)
     idx = _PQ_INDEX_CACHE.get(key)
     if idx is None:
         import tempfile

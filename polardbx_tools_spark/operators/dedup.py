@@ -910,13 +910,17 @@ def duplicate_clusters(
     independent, so a recursive-CTE SQL or union-find golden oracle
     replays either exactly):
 
-    * **bounded driver union-find** when a ``limit(driver_max_edges+1)``
-      probe shows the edge list fits (the pair graph is ∝ DUPLICATES,
-      not corpus — usually tiny even when the corpus is not): one job
-      collects the edges, path-compressed union-find labels them in
-      O(E α), one ``createDataFrame`` returns. The round-4 profile
-      showed a 256-edge graph paying ~4-6 s of per-round distributed
-      job overhead for this — same bounded-probe discipline as
+    * **bounded driver union-find** when a bounded probe shows the edge
+      list fits ``driver_max_edges`` PAIRS (the pair graph is ∝
+      DUPLICATES, not corpus — usually tiny even when the corpus is
+      not): the probe collects mirrored edges from the SAME persisted
+      relation the distributed path scans, so an over-threshold probe
+      never recomputes the (expensive) pair plan — partitions it
+      touched are already cached for the propagation rounds.
+      Path-compressed union-find labels in O(E α), one
+      ``createDataFrame`` returns. The round-4 profile showed a
+      256-edge graph paying ~4-6 s of per-round distributed job
+      overhead for this — same bounded-probe discipline as
       ``jaccard_pairs``'s bitmask decision.
     * **distributed min-label propagation** otherwise: each round every
       vertex takes the min of its own label and its neighbors', as ONE
@@ -931,81 +935,89 @@ def duplicate_clusters(
       fixpoint (a silent non-converged result would split long-chain
       components with no signal to the caller).
     """
-    if driver_max_edges:
-        probe = (
-            pairs.select("id_a", "id_b").limit(driver_max_edges + 1).collect()
-        )
-        if len(probe) <= driver_max_edges:
-            parent: dict = {}
-
-            def find(x):
-                r = x
-                while parent[r] != r:
-                    r = parent[r]
-                while parent[x] != r:  # path compression
-                    parent[x], x = r, parent[x]
-                return r
-
-            for row in probe:
-                a, b = row["id_a"], row["id_b"]
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-            # second pass: root-min == min reachable id (unions always
-            # point the larger root at the smaller)
-            from pyspark.sql.types import StructField, StructType
-
-            id_type = {f.name: f for f in pairs.schema.fields}["id_a"].dataType
-            out_schema = StructType([
-                StructField("doc_id", id_type, True),
-                StructField("cluster_id", id_type, True),
-            ])
-            rows = [(v, find(v)) for v in parent]
-            return pairs.sparkSession.createDataFrame(rows, out_schema)
-
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
+    try:
+        if driver_max_edges:
+            # mirrored relation holds <= 2 rows per input pair; probing
+            # IT (not the raw pair plan) means partitions the probe
+            # computes are cached for the distributed rounds — no
+            # second pass over the expensive pair pipeline either way
+            probe = edges.limit(2 * driver_max_edges + 1).collect()
+            if len(probe) <= 2 * driver_max_edges:
+                parent: dict = {}
+
+                def find(x):
+                    r = x
+                    while parent[r] != r:
+                        r = parent[r]
+                    while parent[x] != r:  # path compression
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for row in probe:
+                    a, b = row["a"], row["b"]
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                # second pass: root-min == min reachable id (unions
+                # always point the larger root at the smaller)
+                from pyspark.sql.types import StructField, StructType
+
+                id_type = {f.name: f for f in pairs.schema.fields}["id_a"].dataType
+                out_schema = StructType([
+                    StructField("doc_id", id_type, True),
+                    StructField("cluster_id", id_type, True),
+                ])
+                rows = [(v, find(v)) for v in parent]
+                return pairs.sparkSession.createDataFrame(rows, out_schema)
+        return _propagate_min_labels(edges, max_iterations)
+    finally:
+        edges.unpersist()
+
+
+def _propagate_min_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Distributed min-label rounds over a persisted MIRRORED edge
+    relation (caller owns the persist lifecycle); the final labels ride
+    a localCheckpoint, so the result outlives the unpersist."""
+    from pyspark.sql import Observation
+
     labels = (
         edges.select(F.col("a").alias("v")).distinct()
         .withColumn("l", F.col("v"))
         .localCheckpoint(eager=True)
     )
     prev_sum = None
-    try:
-        from pyspark.sql import Observation
-
-        for i in range(max_iterations):
-            neigh = (
-                edges.join(labels, edges["b"] == labels["v"])
-                .select(edges["a"].alias("v"), labels["l"])
-            )
-            # the convergence metric rides the SAME job that materializes
-            # the round's labels (Observation over the checkpoint scan) —
-            # one Spark job per round, not two
-            obs = Observation(f"cc_round_{i}")
-            labels = (
-                labels.unionByName(neigh)
-                .groupBy("v")
-                .agg(F.min("l").alias("l"))
-                .observe(obs, F.sum("l").alias("s"))
-                .localCheckpoint(eager=True)
-            )
-            cur_sum = obs.get["s"]
-            if cur_sum == prev_sum:
-                return labels.select(
-                    F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
-                )
-            prev_sum = cur_sum
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iterations} rounds "
-            "(pair graph diameter exceeds the iteration budget); raise "
-            "max_iterations"
+    for i in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["v"])
+            .select(edges["a"].alias("v"), labels["l"])
         )
-    finally:
-        edges.unpersist()
+        # the convergence metric rides the SAME job that materializes
+        # the round's labels (Observation over the checkpoint scan) —
+        # one Spark job per round, not two
+        obs = Observation(f"cc_round_{i}")
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("v")
+            .agg(F.min("l").alias("l"))
+            .observe(obs, F.sum("l").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = obs.get["s"]
+        if cur_sum == prev_sum:
+            return labels.select(
+                F.col("v").alias("doc_id"), F.col("l").alias("cluster_id")
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iterations} rounds "
+        "(pair graph diameter exceeds the iteration budget); raise "
+        "max_iterations"
+    )

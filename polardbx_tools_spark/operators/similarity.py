@@ -857,6 +857,42 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _verify_cosine_pairs(
+    cands: DataFrame,
+    a_col: str,
+    b_col: str,
+    vecs_a: DataFrame,
+    vecs_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact norm-hoisted cosine verification of IDS-ONLY candidate
+    pairs: ``vecs_*`` are (id, v, nv) relations (vector + hoisted L2
+    norm); returns (a_col, b_col, cosine) with cosine >= threshold.
+    ONE implementation serves the index's pairs_against AND the
+    streaming embedding gate (round-5 review: two inline copies could
+    drift)."""
+    return (
+        cands
+        .join(
+            vecs_a.select(F.col("id").alias(a_col),
+                          F.col("v").alias("v_a"), F.col("nv").alias("n_a")),
+            on=a_col,
+        )
+        .join(
+            vecs_b.select(F.col("id").alias(b_col),
+                          F.col("v").alias("v_b"), F.col("nv").alias("n_b")),
+            on=b_col,
+        )
+        .select(
+            a_col, b_col,
+            cosine_with_norms(
+                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 class EmbeddingLshIndex:
     """Persistent multi-table-LSH EMBEDDING index — the vector-side twin
     of :class:`~polardbx_tools_spark.operators.dedup.MinHashLshIndex`:
@@ -964,25 +1000,8 @@ class EmbeddingLshIndex:
             .distinct()
         )
         vecs_new = banded_new.filter(F.col("t") == 0).select("id", "v", "nv")
-        return (
-            candidates
-            .join(
-                vecs_new.select(F.col("id").alias("new_id"),
-                                F.col("v").alias("v_n"), F.col("nv").alias("n_n")),
-                on="new_id",
-            )
-            .join(
-                vecs_old.select(F.col("id").alias("corpus_id"),
-                                F.col("v").alias("v_c"), F.col("nv").alias("n_c")),
-                on="corpus_id",
-            )
-            .select(
-                "new_id", "corpus_id",
-                cosine_with_norms(
-                    F.col("v_n"), F.col("v_c"), F.col("n_n"), F.col("n_c")
-                ).alias("cosine"),
-            )
-            .filter(F.col("cosine") >= threshold)
+        return _verify_cosine_pairs(
+            candidates, "new_id", "corpus_id", vecs_new, vecs_old, threshold
         )
 
 
@@ -1151,6 +1170,21 @@ def _pq_prune_frames(c_ids, cmat, ids_b, lut_b, cn2_b, qn_b, m: int,
             "adc": adc[top],
         }))
     return frames
+
+
+def _empty_topk(spark, id_type) -> DataFrame:
+    """Empty (query_id, neighbor_id, cosine, rank) result — the
+    graceful degenerate for a no-queries serving wave."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    return spark.createDataFrame([], StructType([
+        StructField("query_id", id_type, True),
+        StructField("neighbor_id", id_type, True),
+        StructField("cosine", DoubleType(), True),
+        StructField("rank", IntegerType(), False),
+    ]))
 
 
 def _pq_rerank(
@@ -1440,6 +1474,19 @@ class PqIndex:
             .write.mode("append").parquet(f"{self.path}/codes")
         )
 
+    def repair(self) -> None:
+        """Repair a compact() that crashed between its renames BEFORE
+        reading codes/ (directory checks only; mirrors the LSH indexes'
+        repair — without it a crashed swap leaves codes/ missing and
+        every topk() fails until another compact() runs)."""
+        from polardbx_tools_spark.operators.dedup import _compact_preclean
+
+        _compact_preclean(
+            f"{self.path}/codes",
+            f"{self.path}/_codes_compact",
+            f"{self.path}/_codes_old",
+        )
+
     def compact(self, target_files: int = 8) -> None:
         """Offline small-file fold (same crash-repairable contract as
         the LSH indexes): duplicate ids from replayed appends drop, the
@@ -1473,12 +1520,16 @@ class PqIndex:
         ``queries x refine`` rows of it are ever read)."""
         import numpy as np
 
+        self.repair()  # heal a crashed compact before reading codes/
         if refine is None:
             refine = 8 * k
         m, ks, dsub = self.m, self.ks, self.dim // self.m
         q_rows = sorted(
             queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
         )
+        if not q_rows:  # no-queries wave: empty result, zero jobs
+            id_type = {f.name: f for f in queries.schema.fields}[id_col].dataType
+            return _empty_topk(self.spark, id_type)
         q_ids, luts, cn2_arr, q_norms = _pq_query_tables(
             q_rows, self.books, m, ks, dsub, vec_col, id_col
         )
@@ -1669,6 +1720,17 @@ class IvfPqIndex:
             .parquet(f"{self.path}/codes")
         )
 
+    def repair(self) -> None:
+        """Heal a compact() crashed between its renames (directory
+        checks only — see PqIndex.repair)."""
+        from polardbx_tools_spark.operators.dedup import _compact_preclean
+
+        _compact_preclean(
+            f"{self.path}/codes",
+            f"{self.path}/_codes_compact",
+            f"{self.path}/_codes_old",
+        )
+
     def compact(self, target_files_per_cell: int = 1) -> None:
         """Offline per-cell small-file fold, crash-repairable via the
         shared preclean/swap helpers; duplicate ids drop."""
@@ -1700,12 +1762,16 @@ class IvfPqIndex:
     ) -> DataFrame:
         import numpy as np
 
+        self.repair()  # heal a crashed compact before reading codes/
         if refine is None:
             refine = 8 * k
         m, ks, dsub = self.m, self.ks, self.dim // self.m
         q_rows = sorted(
             queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
         )
+        if not q_rows:  # no-queries wave: empty result, zero jobs
+            id_type = {f.name: f for f in queries.schema.fields}[id_col].dataType
+            return _empty_topk(self.spark, id_type)
         q_ids, luts, cn2_arr, q_norms = _pq_query_tables(
             q_rows, self.books, m, ks, dsub, vec_col, id_col
         )

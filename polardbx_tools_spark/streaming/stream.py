@@ -331,8 +331,13 @@ def start_dedup_stream(
     stream = reader.load(source_dir)
 
     def apply(batch_df, batch_id: int) -> None:
-        if compact_every_batches:
-            idx.repair()  # heal any compact() crash before reading hs
+        # ALWAYS heal a crashed compact() before the existence probe —
+        # a swap that died between its renames leaves hs/ missing and
+        # _hs_old behind; without repair a restart (with or without the
+        # compaction flag) would read "no index" and re-accept
+        # duplicates of the whole corpus (round-5 review finding).
+        # Cheap: directory checks only.
+        idx.repair()
         have_index = _fs_exists(spark, f"{idx.path}/hs")
         # replay/idempotence guard: drop ids this gate already decided
         # (accepted ids live in the index; rejected ids in rejected_dir
@@ -510,10 +515,21 @@ def start_embedding_dedup_stream(
     anti-joined against indexed ∪ rejected ids before anything runs.
     ``compact_every_batches`` folds the index's small files every N
     batches (``EmbeddingLshIndex.compact``; a crashed fold is healed by
-    ``repair()`` at the next batch)."""
+    ``repair()`` at the next batch).
+
+    Same sink caveat as the text gate: accepted/rejected are plain
+    parquet appends, not the lake's atomic snapshot — a crash BETWEEN
+    a batch's accepted write and its index append re-processes that
+    batch on restart (the guard keys on vecs presence), which can leave
+    that one batch's rows at-least-once in accepted_dir while keeping
+    the INDEX complete (the contract that matters for dedup quality:
+    the alternative — guarding on accepted ids — would leave
+    accepted-but-unindexed rows invisible to candidate generation
+    forever). Route accepted rows through the lake merge, or dedup by
+    id downstream, when exactly-once output matters."""
     from polardbx_tools_spark.operators.dedup import duplicate_clusters
     from polardbx_tools_spark.operators.similarity import (
-        EmbeddingLshIndex, cosine_with_norms,
+        EmbeddingLshIndex, _verify_cosine_pairs,
     )
 
     idx = EmbeddingLshIndex(
@@ -526,8 +542,10 @@ def start_embedding_dedup_stream(
     stream = reader.load(source_dir)
 
     def apply(batch_df, batch_id: int) -> None:
-        if compact_every_batches:
-            idx.repair()
+        # always heal a crashed compact() before the existence probe
+        # (see the text gate's note — a missing vecs/ would read as
+        # "no index" and re-accept duplicates of the whole corpus)
+        idx.repair()
         have_index = _fs_exists(spark, f"{idx.path}/vecs")
         seen = None
         if have_index:
@@ -549,22 +567,9 @@ def start_embedding_dedup_stream(
             )
 
             def verify(cands, a_col, b_col, vecs_right):
-                return (
-                    cands
-                    .join(vecs_new.select(F.col("id").alias(a_col),
-                                          F.col("v").alias("v_a"),
-                                          F.col("nv").alias("n_a")), on=a_col)
-                    .join(vecs_right.select(F.col("id").alias(b_col),
-                                            F.col("v").alias("v_b"),
-                                            F.col("nv").alias("n_b")), on=b_col)
-                    .filter(
-                        cosine_with_norms(
-                            F.col("v_a"), F.col("v_b"),
-                            F.col("n_a"), F.col("n_b"),
-                        ) >= threshold
-                    )
-                    .select(a_col, b_col)
-                )
+                return _verify_cosine_pairs(
+                    cands, a_col, b_col, vecs_new, vecs_right, threshold
+                ).select(a_col, b_col)
 
             if have_index:
                 banded_old = spark.read.parquet(f"{idx.path}/banded")

@@ -36,8 +36,11 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
-    ap.add_argument("--threshold", type=float, default=0.5,
-                    help="verified-jaccard rejection threshold")
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="rejection threshold: verified jaccard (text "
+                         "mode, default 0.5) or exact cosine (embedding "
+                         "mode, default 0.9 — jaccard-scale values like "
+                         "0.5 would reject merely-related embeddings)")
     ap.add_argument("--hashes", type=int, default=32)
     ap.add_argument("--bands", type=int, default=8)
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -67,6 +70,9 @@ def main() -> None:
     )
 
     spark = SparkSession.builder.getOrCreate()  # master/conf from spark-submit
+    if args.threshold is None:
+        # mode-appropriate defaults: the scales are NOT interchangeable
+        args.threshold = 0.9 if args.mode == "embedding" else 0.5
     if args.mode == "embedding":
         schema = StructType([
             StructField(args.id_col, LongType()),
