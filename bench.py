@@ -281,9 +281,9 @@ def run_query_suite(cpus: int) -> dict[str, float]:
         # it) — 64 docs exercise the same code paths at ~zero cost
         from polardbx_tools_spark.operators import dedup as _dd
 
-        _dd.minhash_lsh_pairs(
-            spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64)
-        ).count()
+        _warm_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64)
+        _dd.minhash_lsh_pairs(_warm_docs).count()
+        _dd.jaccard_pairs(_warm_docs).count()
         spark.catalog.clearCache()
         for name, fn in entrymod.queries().items():
             t0 = time.time()

@@ -88,7 +88,9 @@ def _emit_size_keys(n: Column, threshold: float) -> Column:
     return F.sequence(lo, n.cast("int"))
 
 
-def _vocab_probe_df(base: DataFrame, probe_rows: int, max_vocab: int) -> DataFrame:
+def _vocab_probe_df(
+    base: DataFrame, tokenizer, probe_rows: int, max_vocab: int
+) -> DataFrame:
     """Bounded strategy probe, ONE row / ONE job: ``n_docs`` counts the
     sampled rows (capped at ``probe_rows + 1`` — the corpus-size
     signal: ``n_docs <= probe_rows`` proves the sample IS the corpus)
@@ -99,9 +101,19 @@ def _vocab_probe_df(base: DataFrame, probe_rows: int, max_vocab: int) -> DataFra
     aggregation (a ``distinct()`` over every token at 100 TB just to
     learn "vocab > 62" was the round-2 scale wart; the separate
     full-sample ``limit().count()`` corpus-size job was round-4's —
-    both signals now come out of the probe's single collect)."""
-    sample = base.limit(probe_rows + 1).select(
-        F.monotonically_increasing_id().alias("_r"), "ws"
+    both signals now come out of the probe's single collect).
+
+    ``base`` carries the RAW text column ``_t``; ``tokenizer`` is
+    applied AFTER a round-robin widen of the limited sample, so the
+    probe's tokenize runs on every core instead of serializing on the
+    GlobalLimit's single partition (the limit still pushes into the
+    scan — only ≤ ``probe_rows + 1`` raw rows cross the exchange).
+    collect_set partially aggregates per partition, so the merge
+    reducer sees per-partition distinct sets, not the token multiset."""
+    cores = base.sparkSession.sparkContext.defaultParallelism
+    sample = base.limit(probe_rows + 1).repartition(cores).select(
+        F.monotonically_increasing_id().alias("_r"),
+        tokenizer(F.col("_t")).alias("ws"),
     )
     return sample.select("_r", F.explode_outer("ws").alias("tok")).agg(
         F.countDistinct("_r").alias("n_docs"),
@@ -157,12 +169,10 @@ def jaccard_pairs(
     handling keeps even a stale vocabulary correct, but the two scans
     must see the same rows).
     """
-    narrow = df.select(
-        F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws")
-    )
     # the widened base feeds the full-corpus mask/pair compute; the
-    # PROBE stays on the unwidened projection so its row limit keeps
-    # pushing into the scan (a limit cannot cross the widen exchange)
+    # PROBE limits the unwidened projection so its row limit keeps
+    # pushing into the scan, then widens the limited sample before
+    # tokenizing (see _vocab_probe_df)
     base = _widen_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws")
     )
@@ -170,7 +180,10 @@ def jaccard_pairs(
         return _jaccard_pairs_generic(base, threshold)
     if strategy not in ("bitmask", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    probe = _vocab_probe_df(narrow, probe_rows, max_bitmask_vocab).collect()[0]
+    probe = _vocab_probe_df(
+        df.select(F.col(text_col).alias("_t")), word_set,
+        probe_rows, max_bitmask_vocab,
+    ).collect()[0]
     toks = list(probe["toks"] or [])
     vocab = toks[:max_bitmask_vocab]  # sort_array already ordered them
     if strategy == "auto" and len(toks) > max_bitmask_vocab:
