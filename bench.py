@@ -391,10 +391,16 @@ def main() -> None:
             "cow_read_s": mor["cow"]["read_s"],
             "mor_read_s": mor["mor"]["read_s"],
         }
-    # verbose sidecar: full precision + raw leg records for the judge
+    # verbose sidecar: full precision + raw leg records for the judge.
+    # Non-default-SF smoke runs write a suffixed sidecar so they can
+    # never clobber the authoritative sf0.1 record.
     root = os.path.dirname(os.path.abspath(__file__))
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    full_name = (
+        "BENCH_FULL.json" if sf_tag == "0.1" else f"BENCH_FULL.sf{sf_tag}.json"
+    )
     try:
-        with open(os.path.join(root, "BENCH_FULL.json"), "w") as f:
+        with open(os.path.join(root, full_name), "w") as f:
             json.dump(
                 {"result": result, "queries_3dp": queries, "legs": legs,
                  "substrate": substrate, "exec_substrate": xsubstrate,
