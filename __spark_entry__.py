@@ -762,6 +762,7 @@ def _q_text_metrics(spark, sf):
         F.round(text.dup_line_fraction(F.col("text")), 6).alias("dup_line_frac"),
         F.round(text.dup_ngram_fraction(F.col("text"), 2), 6).alias("dup_2gram_frac"),
         F.round(text.top_ngram_fraction(F.col("text"), 2), 6).alias("top_2gram_frac"),
+        text.fingerprint(F.col("text")).alias("fp"),
     )
 
 
@@ -774,9 +775,17 @@ def _q_text_lang_id(spark, sf):
     )
 
 
-def _q_doc_fingerprint(spark, sf):
+def _q_decontaminate(spark, sf):
+    """GPT-3/Pile-style 13-gram benchmark decontamination: the
+    deterministic slice ``doc_id % 7 = 0`` plays the eval set, every
+    other document is the training side; each training doc reports its
+    distinct overlapping-13-gram count and a contaminated flag. (The
+    per-doc MD5 fingerprint this slot used to carry now rides
+    text_metrics' ``fp`` column.)"""
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return text.decontaminate(train, bench, n=13)
 
 
 _MINHASH_PAIRS_CACHE: dict = {}
@@ -1100,7 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": _q_text_metrics,
         "text_tfidf_top_terms": _q_text_tfidf_top_terms,
         "text_lang_id": _q_text_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
+        "decontaminate": _q_decontaminate,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_sample_stratified": _q_corpus_sample_stratified,
         "corpus_split_leakproof": _q_corpus_split_leakproof,
@@ -1475,7 +1484,8 @@ def oracle_sql() -> dict[str, str]:
                           THEN list_transform(
                                generate_series(1, len({_TOKS_L}) - 1),
                                i -> {_TOKS_L}[i] || ' ' || {_TOKS_L}[i + 1])
-                          ELSE [] END AS g2
+                          ELSE [] END AS g2,
+                     md5({_NORM}) AS fp
               FROM documents)
             SELECT doc_id,
                    CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -1509,7 +1519,8 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN len(g2) > 0
                          THEN list_max(list_transform(list_distinct(g2),
                               x -> len(list_filter(g2, y -> y = x)))) * 1.0 / len(g2)
-                         ELSE 0.0 END, 6) AS top_2gram_frac
+                         ELSE 0.0 END, 6) AS top_2gram_frac,
+                   fp
             FROM t
         """,
         "text_lang_id": f"""
@@ -1526,8 +1537,28 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT pred_lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1
         """,
-        "doc_fingerprint": f"""
-            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS w
+              FROM documents),
+            bg AS (
+              SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(w) - 12)) AS s(i)
+              WHERE doc_id % 7 = 0 AND len(w) >= 13),
+            dg AS (
+              SELECT doc_id, array_to_string(w[i:i+12], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(w) - 12)) AS s(i)
+              WHERE doc_id % 7 <> 0 AND len(w) >= 13),
+            hits AS (
+              SELECT dg.doc_id, CAST(count(DISTINCT dg.g) AS BIGINT) AS n
+              FROM dg JOIN bg ON dg.g = bg.g GROUP BY dg.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_contam_grams,
+                   CAST(coalesce(n, 0) > 0 AS INTEGER) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+            LEFT JOIN hits USING (doc_id)
         """,
         # golden: union-find over the independently-derived minhash pair
         # graph (tools/make_golden.py clusters_golden) — same pair source

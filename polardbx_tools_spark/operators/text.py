@@ -173,6 +173,61 @@ def top_ngram_fraction(col: Column, n: int = 2) -> Column:
     ).cast("double")
 
 
+def decontaminate(
+    docs,
+    benchmark,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+):
+    """Benchmark decontamination: flag every training document that
+    shares at least one word ``n``-gram (default 13 — the GPT-3/Pile
+    convention) with an evaluation corpus, so eval answers cannot leak
+    into the training set. Returns one row per ``docs`` row:
+    ``(id_col, n_contam_grams, contaminated)`` where ``n_contam_grams``
+    counts the DISTINCT overlapping n-grams.
+
+    Scale posture: the benchmark side reduces to its distinct n-gram
+    set — eval suites are MBs against a 100-TB corpus, so it is
+    broadcast and the corpus side never shuffles its text: one widened
+    projection + explode, the hit join is map-side, and the per-doc
+    aggregate runs only over HIT rows (rare by construction). The
+    closing left join carries only (id, count) pairs.
+    """
+    from polardbx_tools_spark.operators.similarity import _widen_scan
+
+    bg = (
+        benchmark.select(
+            F.explode(
+                word_ngrams(F.col(bench_text_col or text_col), n)
+            ).alias("g")
+        ).distinct()
+    )
+    dg = _widen_scan(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("_did"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    hits = (
+        dg.join(F.broadcast(bg), "g")
+        .groupBy("_did")
+        .agg(F.count_distinct("g").cast("long").alias("n_contam_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, F.col(id_col) == F.col("_did"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_contam_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_contam_grams"),
+            (F.coalesce(F.col("n_contam_grams"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, strip
     punctuation, collapse whitespace. The corpus analog of frodo's SQL

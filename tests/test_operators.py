@@ -784,3 +784,41 @@ def test_intra_doc_repetition_metrics(spark):
         3: (0.0, 0.0, 0.0),
         4: (0.0, round(1 - 1 / 3, 6), 1.0),
     }
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc carrying a verbatim 13-word span of a benchmark
+    doc must be flagged with exactly that one shared 13-gram; clean and
+    too-short docs stay present with zero hits (GPT-3/Pile-style
+    decontamination, text.decontaminate)."""
+    span = " ".join(f"w{i}" for i in range(13))
+    bench = spark.createDataFrame(
+        [(1000, f"eval question: {span} answer")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "clean document " + " ".join(f"x{i}" for i in range(20))),
+            (2, f"leaky doc contains {span} verbatim inside"),
+            (3, "short doc"),  # < 13 tokens: no grams, still one row out
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_contam_grams"], r["contaminated"])
+        for r in text.decontaminate(docs, bench, n=13).collect()
+    }
+    assert got == {1: (0, 0), 2: (1, 1), 3: (0, 0)}
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark n-gram set must reach the hit join as a broadcast
+    (eval suites are MBs vs a 100-TB corpus): no shuffle of the corpus
+    gram stream."""
+    d = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 20), i -> concat('t', id, '_', i))) AS text",
+    )
+    plan = text.decontaminate(
+        d.filter("doc_id % 7 != 0"), d.filter("doc_id % 7 = 0"), n=13
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
