@@ -202,6 +202,19 @@ def _q_masking_suite(spark, sf):
     c = _t(spark, sf, "customer")
     key = "0123456789abcdeffedcba9876543210"
     hexed = F.hex(F.encode("c_name", "UTF-8"))
+    # deterministic PII-bearing string per customer: the synthetic
+    # corpus carries no real PII, so the scan/redact leg manufactures
+    # one email + one phone per row and both engines must agree on
+    # counts and the redacted text
+    pii_src = F.concat(
+        F.lit("contact "), F.col("c_name"),
+        F.lit(" <"), F.lower(F.col("c_name")), F.lit("@example.com> or +1-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
     return c.select(
         "c_custkey",
         masking.mask_hide(F.col("c_name"), 4).alias("masked_name"),
@@ -213,6 +226,9 @@ def _q_masking_suite(spark, sf):
         ).alias("name_rt"),
         hexed.alias("name_hex"),
         F.decode(F.unhex(hexed), "UTF-8").alias("name_back"),
+        masking.pii_count(pii_src, "email").alias("n_emails"),
+        masking.pii_count(pii_src, "phone").alias("n_phones"),
+        masking.pii_redact(pii_src, ("email", "phone")).alias("pii_redacted"),
     )
 
 
@@ -1335,7 +1351,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_discount >= 0.05 AND l_quantity < 25
         """,
-        "masking_suite": """
+        "masking_suite": r"""
+            WITH p AS (
+              SELECT *,
+                     'contact ' || c_name || ' <' || lower(c_name) ||
+                     '@example.com> or +1-' ||
+                     lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS pii_src
+              FROM customer)
             SELECT c_custkey,
                    CASE WHEN length(c_name) <= 4 THEN c_name
                         ELSE repeat('*', length(c_name) - 4) ||
@@ -1347,8 +1371,16 @@ def oracle_sql() -> dict[str, str]:
                      'defghijklmnopqrstuvwxyzabcDEFGHIJKLMNOPQRSTUVWXYZABC') AS enc,
                    c_name AS name_rt,
                    hex(c_name) AS name_hex,
-                   c_name AS name_back
-            FROM customer
+                   c_name AS name_back,
+                   CAST(len(regexp_extract_all(pii_src,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(pii_src,
+                     '(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}')) AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(pii_src,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                     '(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}', '[PII]', 'g')
+                     AS pii_redacted
+            FROM p
         """,
         "update_transforms": """
             SELECT user_id,

@@ -122,3 +122,36 @@ def encrypt_aes(col: Column, key: str, mode: str = "GCM") -> Column:
 
 def decrypt_aes(col: Column, key: str, mode: str = "GCM") -> Column:
     return F.aes_decrypt(col, F.lit(key), F.lit(mode)).cast("string")
+
+
+# --- PII detection / redaction -----------------------------------------
+#
+# Training-data curation needs a PII pass the reference never had
+# (its maskers hide columns the OPERATOR names; a web corpus needs the
+# engine to FIND the PII). Conservative, cross-engine-portable regexes:
+# every pattern below parses identically under Java regex (Spark) and
+# RE2 (DuckDB oracle) — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrence count of one PII kind (JVM-side regexp_count)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def pii_redact(
+    col: Column, kinds: tuple[str, ...] | None = None, token: str = "[PII]"
+) -> Column:
+    """Replace every match of the selected PII kinds with ``token``.
+    Kinds apply in the given order (phone/ssn before ipv4 matters when
+    digit runs overlap); one chained regexp_replace projection, no
+    Python in the hot path."""
+    out = col
+    for k in kinds or tuple(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[k], token)
+    return out

@@ -822,3 +822,36 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
         d.filter("doc_id % 7 != 0"), d.filter("doc_id % 7 = 0"), n=13
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_scan_and_redact(spark):
+    """Planted PII of every supported kind: counts per kind are exact,
+    redaction replaces every occurrence, and re-scanning the redacted
+    text finds nothing."""
+    s = (
+        "mail a@b.io and bob.smith+x@corp.example.org, "
+        "call +1-555-123-4567 or (555) 987-6543, "
+        "ssn 123-45-6789, host 10.0.42.7 done"
+    )
+    df = spark.createDataFrame([(1, s), (2, "no pii here"), (3, None)],
+                               "id long, t string")
+    got = df.select(
+        "id",
+        masking.pii_count(F.col("t"), "email").alias("e"),
+        masking.pii_count(F.col("t"), "phone").alias("p"),
+        masking.pii_count(F.col("t"), "ssn").alias("s"),
+        masking.pii_count(F.col("t"), "ipv4").alias("i"),
+        masking.pii_redact(F.col("t")).alias("red"),
+    ).collect()
+    by_id = {r["id"]: r for r in got}
+    r1 = by_id[1]
+    assert (r1["e"], r1["p"], r1["s"], r1["i"]) == (2, 2, 1, 1)
+    assert "[PII]" in r1["red"]
+    # nothing recognizable survives redaction
+    rescan = df.filter("id = 1").select(
+        *[masking.pii_count(masking.pii_redact(F.col("t")), k).alias(k)
+          for k in masking.PII_PATTERNS]
+    ).collect()[0]
+    assert all(rescan[k] == 0 for k in masking.PII_PATTERNS), rescan
+    assert (by_id[2]["e"], by_id[2]["red"]) == (0, "no pii here")
+    assert by_id[3]["red"] is None
