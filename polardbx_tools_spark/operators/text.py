@@ -173,13 +173,31 @@ def top_ngram_fraction(col: Column, n: int = 2) -> Column:
     ).cast("double")
 
 
+def benchmark_ngrams(
+    benchmark,
+    n: int = 13,
+    text_col: str = "text",
+):
+    """Distinct word n-gram set of an evaluation corpus, as a one-column
+    (``g``) DataFrame — the broadcast side of :func:`decontaminate`.
+    Factored out so long-running consumers (the streaming curation gate)
+    derive it ONCE and reuse it across microbatches instead of
+    re-exploding the benchmark per batch."""
+    return (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        ).distinct()
+    )
+
+
 def decontaminate(
     docs,
-    benchmark,
+    benchmark=None,
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str | None = None,
+    benchmark_grams=None,
 ):
     """Benchmark decontamination: flag every training document that
     shares at least one word ``n``-gram (default 13 — the GPT-3/Pile
@@ -194,16 +212,20 @@ def decontaminate(
     projection + explode, the hit join is map-side, and the per-doc
     aggregate runs only over HIT rows (rare by construction). The
     closing left join carries only (id, count) pairs.
+
+    Pass either ``benchmark`` (raw eval docs — the gram set is derived
+    here) or ``benchmark_grams`` (a one-column ``g`` DataFrame from
+    :func:`benchmark_ngrams`, pre-derived and possibly persisted by the
+    caller).
     """
     from polardbx_tools_spark.operators.similarity import _widen_scan
 
-    bg = (
-        benchmark.select(
-            F.explode(
-                word_ngrams(F.col(bench_text_col or text_col), n)
-            ).alias("g")
-        ).distinct()
-    )
+    if benchmark_grams is not None:
+        bg = benchmark_grams
+    elif benchmark is not None:
+        bg = benchmark_ngrams(benchmark, n, bench_text_col or text_col)
+    else:
+        raise ValueError("decontaminate needs benchmark or benchmark_grams")
     dg = _widen_scan(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_did"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),

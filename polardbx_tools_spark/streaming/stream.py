@@ -267,9 +267,26 @@ def start_dedup_stream(
     fmt: str = "parquet",
     compact_every_batches: int | None = None,
     compact_target_files: int = 8,
+    benchmark=None,
+    decontam_n: int = 13,
+    contaminated_dir: str | None = None,
+    bench_text_col: str | None = None,
 ) -> StreamingQuery:
     """Streaming corpus-curation gate: tail a document directory and
     content-dedup each microbatch against everything accepted so far.
+
+    ``benchmark`` (a DataFrame of evaluation documents) turns on
+    ingest-time decontamination: each microbatch is first screened for
+    word-``decontam_n``-gram overlap with the eval corpus
+    (:func:`~polardbx_tools_spark.operators.text.decontaminate` — the
+    GPT-3/Pile 13-gram convention) and contaminated docs are routed to
+    ``contaminated_dir`` (required with ``benchmark``) with their
+    overlap count, never reaching the accepted corpus or the index. The
+    benchmark's distinct gram set is derived ONCE at stream start and
+    persisted — eval suites are MBs against a growing corpus, so every
+    batch pays only a broadcast hash join. Contaminated ids join the
+    replay guard exactly like rejected ids: a replayed batch re-decides
+    nothing.
 
     ``compact_every_batches=N`` folds the index's per-batch appended
     parquet files every N microbatches into ``compact_target_files``
@@ -325,6 +342,19 @@ def start_dedup_stream(
         spark, index_path, num_hashes=num_hashes, bands=bands
     )
 
+    bench_grams = None
+    if benchmark is not None:
+        if contaminated_dir is None:
+            raise ValueError("benchmark requires contaminated_dir")
+        from polardbx_tools_spark.operators.text import benchmark_ngrams
+
+        # derived once for the stream's lifetime; persisted so each
+        # microbatch re-reads the gram set from cache, not the eval docs
+        bench_grams = benchmark_ngrams(
+            benchmark, decontam_n, bench_text_col or text_col
+        ).persist()
+        bench_grams.count()
+
     reader = spark.readStream.schema(schema).format(fmt)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -351,10 +381,35 @@ def start_dedup_stream(
         if _fs_exists(spark, rejected_dir):
             rej_ids = spark.read.parquet(rejected_dir).select(id_col)
             seen = rej_ids if seen is None else seen.unionByName(rej_ids)
+        if contaminated_dir is not None and _fs_exists(spark, contaminated_dir):
+            con_ids = spark.read.parquet(contaminated_dir).select(id_col)
+            seen = con_ids if seen is None else seen.unionByName(con_ids)
         if seen is not None:
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
+        to_unpersist = []
+        if bench_grams is not None:
+            # decontamination screen BEFORE dedup: contaminated docs
+            # must never become dup_of targets for later docs
+            from polardbx_tools_spark.operators.text import decontaminate
+
+            contam = (
+                decontaminate(
+                    batch_df, n=decontam_n, text_col=text_col,
+                    id_col=id_col, benchmark_grams=bench_grams,
+                )
+                .filter(F.col("contaminated") == 1)
+                .select(id_col, "n_contam_grams")
+                .persist()
+            )
+            to_unpersist.append(contam)
+            batch_df.join(contam, on=id_col).write.mode("append").parquet(
+                contaminated_dir
+            )
+            batch_df = batch_df.join(
+                contam.select(id_col), on=id_col, how="left_anti"
+            )
         batch_df = batch_df.persist()
-        to_unpersist = [batch_df]
+        to_unpersist.append(batch_df)
         try:
             # ONE derivation of the batch's shingle/band relations
             hs_new, banded_new = idx._derive(batch_df, text_col, id_col)

@@ -504,3 +504,76 @@ def test_streaming_embedding_dedup_gate(spark, tmp_path):
     q2.awaitTermination(180)
     assert spark.read.parquet(str(tmp_path / "acc")).count() == n_acc
     assert spark.read.parquet(str(tmp_path / "rej")).count() == n_rej
+
+
+def test_streaming_gate_decontaminates_at_ingest(spark, tmp_path):
+    """Curation gate with a benchmark: docs sharing a 13-gram with the
+    eval corpus are routed to the contaminated sink (with their overlap
+    count) BEFORE dedup — they never reach accepted, rejected, or the
+    index, and never become dup_of targets. Replay re-decides nothing."""
+    from polardbx_tools_spark.streaming import start_dedup_stream
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    span = " ".join(f"q{i}" for i in range(13))
+    filler = lambda tag: " ".join(f"{tag}{i}" for i in range(25))
+    # batch 1: clean doc 1; contaminated doc 2; doc 3 near-dup of 1
+    # batch 2: contaminated doc 4 that is ALSO a near-dup of accepted
+    #          doc 1 (decontam must win); clean doc 5
+    b1 = [
+        (1, "alpha " + filler("a")),
+        (2, f"leaky {span} tail"),
+        (3, "alpha " + filler("a") + " extra"),
+    ]
+    b2 = [
+        (4, "alpha " + filler("a") + f" {span}"),
+        (5, "omega " + filler("z")),
+    ]
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "incoming")
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    bench = spark.createDataFrame(
+        [(100, f"eval: {span} answer")], "doc_id long, text string"
+    )
+    kw = dict(
+        index_path=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+        rejected_dir=str(tmp_path / "rej"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        verify_threshold=0.4,
+        max_files_per_trigger=1,
+        benchmark=bench,
+        contaminated_dir=str(tmp_path / "con"),
+    )
+    q = start_dedup_stream(spark, src, schema, **kw)
+    q.awaitTermination(180)
+
+    acc = spark.read.parquet(str(tmp_path / "acc"))
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    con = spark.read.parquet(str(tmp_path / "con"))
+    assert sorted(r["doc_id"] for r in con.collect()) == [2, 4]
+    assert con.filter("n_contam_grams < 1").count() == 0
+    assert sorted(r["doc_id"] for r in acc.collect()) == [1, 5]
+    assert sorted(r["doc_id"] for r in rej.collect()) == [3]
+    assert rej.collect()[0]["dup_of"] == 1
+    # contaminated ids never entered the index
+    hs_ids = {r["id"] for r in
+              spark.read.parquet(str(tmp_path / "idx") + "/hs").collect()}
+    assert hs_ids == {1, 5}
+
+    # replay with a fresh checkpoint: contaminated/rejected/accepted
+    # ids are all in the guard — nothing is re-decided or re-written
+    kw2 = dict(kw, checkpoint_dir=str(tmp_path / "ckpt2"),
+               max_files_per_trigger=2)
+    q2 = start_dedup_stream(spark, src, schema, **kw2)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "acc")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "rej")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "con")).count() == 2

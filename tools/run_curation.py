@@ -10,7 +10,8 @@ band index:
         --source <docs-dir> --index <dir> --accepted <dir> \
         --rejected <dir> --checkpoint <dir> \
         [--threshold 0.5] [--hashes 32] [--bands 8] \
-        [--max-files-per-trigger N] [--follow]
+        [--max-files-per-trigger N] [--follow] \
+        [--benchmark <eval-parquet> --contaminated <dir> [--decontam-n 13]]
 
 `--follow` keeps tailing (production); without it the job drains what
 exists and exits (backfill). Both modes share the same gate, index, and
@@ -55,6 +56,20 @@ def main() -> None:
                     help="embedding dimension (embedding mode)")
     ap.add_argument("--planes", type=int, default=3)
     ap.add_argument("--tables", type=int, default=8)
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet dir/file of evaluation documents: turns "
+                         "on ingest-time decontamination (text mode) — "
+                         "docs sharing a word n-gram with the benchmark "
+                         "are routed to --contaminated, never accepted")
+    ap.add_argument("--contaminated", default=None,
+                    help="sink dir for contaminated docs (required with "
+                         "--benchmark)")
+    ap.add_argument("--decontam-n", type=int, default=13,
+                    help="n-gram size for the benchmark overlap screen "
+                         "(13 = GPT-3/Pile convention)")
+    ap.add_argument("--bench-text-col", default=None,
+                    help="text column in the benchmark table (defaults "
+                         "to --text-col)")
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing instead of drain-and-exit")
     args = ap.parse_args()
@@ -106,6 +121,11 @@ def main() -> None:
                 if _fs_exists(spark, args.rejected) else 0
             print(f"done: {acc} accepted, {rej} rejected")
         return
+    if args.benchmark and not args.contaminated:
+        ap.error("--benchmark requires --contaminated")
+    benchmark = (
+        spark.read.parquet(args.benchmark) if args.benchmark else None
+    )
     schema = StructType([
         StructField(args.id_col, LongType()),
         StructField(args.text_col, StringType()),
@@ -126,6 +146,10 @@ def main() -> None:
         available_now=not args.follow,
         max_files_per_trigger=args.max_files_per_trigger,
         compact_every_batches=args.compact_every_batches,
+        benchmark=benchmark,
+        decontam_n=args.decontam_n,
+        contaminated_dir=args.contaminated,
+        bench_text_col=args.bench_text_col,
     )
     q.awaitTermination()
     if not args.follow:
@@ -135,7 +159,13 @@ def main() -> None:
             if _fs_exists(spark, args.accepted) else 0
         rej = spark.read.parquet(args.rejected).count() \
             if _fs_exists(spark, args.rejected) else 0
-        print(f"done: {acc} accepted, {rej} rejected")
+        con = spark.read.parquet(args.contaminated).count() \
+            if args.contaminated and _fs_exists(spark, args.contaminated) \
+            else 0
+        msg = f"done: {acc} accepted, {rej} rejected"
+        if args.benchmark:
+            msg += f", {con} contaminated"
+        print(msg)
 
 
 if __name__ == "__main__":
