@@ -1,0 +1,170 @@
+"""Training-sequence packing: concatenate a document corpus in a stable
+global order and chop it into fixed token-budget sequences (the
+GPT-style "concat and chop" batch layout — every training sequence is
+exactly ``budget`` tokens, documents may straddle sequence boundaries).
+
+The engine-side output is the PLACEMENT, not the payload: one row per
+document with its global token offset, first sequence index, offset
+inside that sequence, and how many sequences it spans. A writer job can
+then materialize the physical sequences partition-locally (all docs of
+one ``seq_idx`` land in one group), and a data-loader can seek straight
+to a document.
+
+Scale posture — the whole operator is a distributed prefix sum over a
+narrow (id, order, count) relation; the text column is dropped before
+anything shuffles:
+
+1. token counts are a pure projection (no shuffle);
+2. ONE range shuffle on the order key gives contiguous, ordered
+   partitions — the only time corpus rows move;
+3. the running total is an Arrow ``mapInPandas`` cumsum over the
+   range-sorted cached partitions (a window keyed by
+   ``spark_partition_id`` would be equivalent but forces a second
+   corpus exchange — Catalyst cannot see that rows are already grouped
+   by their own partition id);
+4. the cross-partition carry is a per-partition totals aggregate —
+   #shuffle-partitions rows, thousands at most on a 100-TB corpus —
+   collected (bounded), prefix-summed on the driver, and broadcast
+   back.
+
+(The reference engine has no corpus analog — this is part of the
+training-data surface layered on the same engine, like dedup/ANN.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document its place in the packed token stream.
+
+    Returns one row per input doc:
+    ``(id_col, n_tokens, global_offset, seq_idx, seq_offset, n_seqs)``
+    where ``global_offset`` is the number of tokens before this doc in
+    the concatenation order, ``seq_idx = global_offset // budget``,
+    ``seq_offset = global_offset % budget``, and ``n_seqs`` is how many
+    ``budget``-token sequences the doc's span touches (0 for empty
+    docs). Deterministic given the order key (default: the id column —
+    pass ``order_col`` to pack in curriculum/shard order instead; ties
+    are broken by id, which range partitioning keeps co-located).
+
+    ``token_col`` uses a precomputed token-count column; otherwise
+    whitespace token counts are derived from ``text_col``.
+
+    The narrow (id, order, count) relation is persisted for the
+    operator's two passes (carry totals + placement) — 24 bytes/doc,
+    spilled to disk if it outgrows memory.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order = order_col or id_col
+    if token_col is not None:
+        base = docs.select(id_col, order, F.col(token_col).alias("_n"))
+    else:
+        from polardbx_tools_spark.operators.text import token_count
+
+        base = docs.select(
+            id_col, order, token_count(F.col(text_col)).alias("_n")
+        )
+    base = base.select(
+        F.col(id_col),
+        F.col(order).alias("_ord"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_n"),
+    )
+    if num_partitions:
+        base = base.repartitionByRange(num_partitions, "_ord")
+    else:
+        base = base.repartitionByRange("_ord")
+    base = (
+        base.sortWithinPartitions("_ord", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+
+    # cross-partition carry: bounded driver collect (one row per
+    # partition) prefix-summed in python, shipped back as a broadcast
+    tots = {
+        r["_pid"]: r["_tot"]
+        for r in base.groupBy("_pid").agg(F.sum("_n").alias("_tot")).collect()
+    }
+    carry, run = {}, 0
+    for pid in sorted(tots):
+        carry[pid] = run
+        run += tots[pid] or 0
+    spark = docs.sparkSession
+    carries = spark.createDataFrame(
+        [(int(p), int(c)) for p, c in carry.items()] or [(0, 0)],
+        "_pid int, _carry long",
+    )
+
+    # partition-local running total: Arrow batches arrive in the cached
+    # partition's sort order; the accumulator carries across batches
+    def cum(batches):
+        run = 0
+        for pdf in batches:
+            c = pdf["_n"].cumsum() + run
+            if len(c):
+                run = int(c.iloc[-1])
+            pdf = pdf.assign(_cum=c)
+            yield pdf
+
+    # schema derived from the input: string/timestamp ids and order
+    # keys pass through untouched
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    local = base.mapInPandas(
+        cum,
+        schema=StructType(
+            base.schema.fields + [StructField("_cum", LongType())]
+        ),
+    )
+
+    gb = F.col("_carry") + F.col("_cum") - F.col("_n")  # tokens before doc
+    end = gb + F.col("_n") - 1  # last token index (n > 0 only)
+    return (
+        local.join(F.broadcast(carries), on="_pid")
+        .select(
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            gb.cast("long").alias("global_offset"),
+            F.floor(gb / budget).cast("long").alias("seq_idx"),
+            (gb % budget).cast("long").alias("seq_offset"),
+            F.when(
+                F.col("_n") > 0,
+                F.floor(end / budget) - F.floor(gb / budget) + 1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("n_seqs"),
+        )
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Corpus-level packing summary from :func:`pack_sequences` output:
+    ``(n_docs, total_tokens, n_sequences, fill_rate, boundary_docs)``.
+    ``n_sequences`` counts full ``budget``-token sequences (the ragged
+    tail is dropped, matching the training convention); ``fill_rate`` is
+    the kept fraction of the token stream, and ``boundary_docs`` counts
+    docs straddling a sequence boundary (attention-mask reset sites)."""
+    return packed.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.floor(F.sum("n_tokens") / budget).cast("long").alias("n_sequences"),
+        F.round(
+            F.floor(F.sum("n_tokens") / budget) * budget / F.sum("n_tokens"),
+            6,
+        ).alias("fill_rate"),
+        F.sum((F.col("n_seqs") > 1).cast("long")).cast("long")
+        .alias("boundary_docs"),
+    )

@@ -855,3 +855,71 @@ def test_pii_scan_and_redact(spark):
     assert all(rescan[k] == 0 for k in masking.PII_PATTERNS), rescan
     assert (by_id[2]["e"], by_id[2]["red"]) == (0, "no pii here")
     assert by_id[3]["red"] is None
+
+
+def test_pack_sequences_matches_cumsum_oracle(spark):
+    """Concat-and-chop placement must equal the single-threaded cumsum
+    oracle on real docs — forced through MANY range partitions so the
+    cross-partition carry path actually runs — including empty docs
+    (span 0 sequences) and docs longer than the budget (span several)."""
+    from polardbx_tools_spark.operators import packing
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, None),
+         (100003, " ".join(f"w{i}" for i in range(700)))],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(extra)
+    budget = 256
+    got = packing.pack_sequences(
+        d, budget, num_partitions=13
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    # oracle: pandas cumsum over id-ordered whitespace token counts
+    pdf = d.toPandas().sort_values("doc_id").reset_index(drop=True)
+    ntok = pdf["text"].map(
+        lambda t: len(t.split()) if isinstance(t, str) else 0
+    )
+    before = ntok.cumsum() - ntok
+    assert list(got["doc_id"]) == list(pdf["doc_id"])
+    assert list(got["n_tokens"]) == list(ntok)
+    assert list(got["global_offset"]) == list(before)
+    assert list(got["seq_idx"]) == list(before // budget)
+    assert list(got["seq_offset"]) == list(before % budget)
+    exp_span = [
+        0 if n == 0 else (b + n - 1) // budget - b // budget + 1
+        for b, n in zip(before, ntok)
+    ]
+    assert list(got["n_seqs"]) == exp_span
+    assert max(exp_span) >= 3, "long planted doc must span several seqs"
+    assert 0 in exp_span, "empty docs must span zero seqs"
+
+    stats = packing.packing_stats(
+        packing.pack_sequences(d, budget, num_partitions=13), budget
+    ).collect()[0]
+    total = int(ntok.sum())
+    assert stats["n_docs"] == len(pdf)
+    assert stats["total_tokens"] == total
+    assert stats["n_sequences"] == total // budget
+    assert stats["boundary_docs"] == sum(1 for s in exp_span if s > 1)
+
+
+def test_pack_sequences_plan_is_distributed_prefix_sum(spark):
+    """The corpus moves exactly once (the range exchange); the running
+    total is an in-place Arrow cumsum over the cached sorted partitions
+    — no Window at all, hence no hidden single-partition (or even
+    second) corpus exchange — and the carry joins back as a broadcast
+    of the tiny per-partition offsets."""
+    from polardbx_tools_spark.operators import packing
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    plan = packing.pack_sequences(d, 512)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
