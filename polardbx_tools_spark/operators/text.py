@@ -118,6 +118,61 @@ def dup_line_fraction(col: Column) -> Column:
     ).cast("double")
 
 
+def c4_clean_lines(col: Column) -> Column:
+    """C4-style line filter (Raffel et al. 2020 §2.2, public heuristics):
+    keep only lines that end in terminal punctuation (``.!?"``), have at
+    least 3 words, and don't mention javascript (cookie/JS-warning
+    boilerplate). Returns the cleaned text (kept lines re-joined with
+    newlines). Pure higher-order-function expressions — no UDF, no
+    shuffle; NULL text stays NULL."""
+    kept = F.filter(
+        _lines(col),
+        lambda l: (
+            l.rlike(r'[.!?"]$')
+            & (F.size(F.split(l, r"\s+")) >= 3)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    return F.when(col.isNotNull(), F.array_join(kept, "\n"))
+
+
+def c4_document_keep(col: Column, min_sentences: int = 5) -> Column:
+    """C4-style page filter over the ALREADY line-cleaned text: drop
+    documents containing a curly brace (code), the phrase "lorem ipsum"
+    (placeholder boilerplate), or fewer than ``min_sentences`` sentences
+    (terminal-punctuation runs). 1 = keep, 0 = drop; NULL text drops."""
+    lc = F.lower(col)
+    # sentence = a run of terminal punctuation followed by a quote,
+    # whitespace, or end of text ("..." is one sentence end, not three)
+    n_sent = F.regexp_count(col, F.lit(r'[.!?]+(?=["\s]|$)'))
+    return (
+        col.isNotNull()
+        & ~lc.contains("{")
+        & ~lc.contains("lorem ipsum")
+        & (n_sent >= min_sentences)
+    ).cast("int")
+
+
+def c4_clean(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentences: int = 5,
+) -> "DataFrame":
+    """Full C4 cleaning pass: line filter then page filter. One row per
+    input doc: ``(id_col, clean_text, n_lines_in, n_lines_kept, keep)``
+    — callers keep ``keep = 1`` rows' ``clean_text``. Entirely
+    projections (one narrow select), so it composes with any scan."""
+    cleaned = c4_clean_lines(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        F.size(_lines(F.col(text_col))).cast("long").alias("n_lines_in"),
+        F.size(_lines(cleaned)).cast("long").alias("n_lines_kept"),
+        c4_document_keep(cleaned, min_sentences).alias("keep"),
+    )
+
+
 def word_ngrams(col: Column, n: int = 2) -> Column:
     """Word n-grams of the lowercased token stream, WITH repeats
     (repetition metrics need the multiset; dedup shingles live in

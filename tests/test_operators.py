@@ -923,3 +923,33 @@ def test_pack_sequences_plan_is_distributed_prefix_sum(spark):
     assert "Window" not in plan, plan
     assert "MapInPandas" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_c4_clean_planted_rules(spark):
+    """Planted docs exercising every C4 rule: line filter (terminal
+    punctuation, >=3 words, javascript boilerplate), page filter (curly
+    brace, lorem ipsum, minimum sentences), NULL safety."""
+    good = "\n".join(f"This is proper sentence number {i}." for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                     # keeps all, kept
+            (2, good + "\nno terminal punct\nok?\nPlease enable "
+                "JavaScript to view this."),               # bad lines drop
+            (3, "Lorem ipsum dolor sit amet." + "\n" + good),  # page drop
+            (4, "A config block { x: 1 } appears here.\n" + good),  # brace
+            (5, "Too short a page."),                      # < 5 sentences
+            (6, None),                                     # NULL safe
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.c4_clean(docs).collect()}
+    assert got[1]["keep"] == 1 and got[1]["n_lines_kept"] == 6
+    # doc 2: the three junk lines vanish, the good ones survive → kept
+    assert got[2]["keep"] == 1
+    assert got[2]["n_lines_in"] == 9 and got[2]["n_lines_kept"] == 6
+    assert "JavaScript" not in got[2]["clean_text"]
+    assert "no terminal punct" not in got[2]["clean_text"]
+    assert "ok?" not in got[2]["clean_text"]  # terminal punct but < 3 words
+    assert got[3]["keep"] == 0 and got[4]["keep"] == 0
+    assert got[5]["keep"] == 0  # one sentence < 5
+    assert got[6]["clean_text"] is None and got[6]["keep"] == 0
