@@ -150,6 +150,58 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into (optionally overlapping) token windows
+    — the retrieval/eval-prep twin of :func:`pack_sequences` (which
+    never splits inside the budget; this one re-windows WITHIN a doc).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; the
+    last chunk is the ragged tail (never empty, never duplicated: a doc
+    with ``n <= window`` tokens yields exactly one chunk). Returns
+    ``(id_col, chunk_idx, chunk_text, n_chunk_tokens)``. Empty/NULL
+    docs yield no rows.
+
+    Pure expression shape: tokenize once, ``sequence``+``transform``
+    build the per-doc chunk array, one ``explode`` fans out — cost and
+    output ∝ input tokens × overlap factor, no shuffle, no UDF.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    stride = window if stride is None else stride
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    from polardbx_tools_spark.operators.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of stride starts before the last window fully covers the
+    # tail: ceil((n - window)/stride) + 1 for n > window, else 1
+    n_chunks = F.when(
+        n <= window, F.lit(1)
+    ).otherwise(F.ceil((n - window) / F.lit(stride)) + 1)
+    return (
+        docs.filter(F.col(text_col).isNotNull() & (n > 0))
+        .select(F.col(id_col), F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                lambda i: F.slice(toks, i * stride + 1, window),
+            )
+        ).alias("chunk_idx", "_toks"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join("_toks", " ").alias("chunk_text"),
+            F.size("_toks").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Corpus-level packing summary from :func:`pack_sequences` output:
     ``(n_docs, total_tokens, n_sequences, fill_rate, boundary_docs)``.

@@ -953,3 +953,51 @@ def test_c4_clean_planted_rules(spark):
     assert got[3]["keep"] == 0 and got[4]["keep"] == 0
     assert got[5]["keep"] == 0  # one sentence < 5
     assert got[6]["clean_text"] is None and got[6]["keep"] == 0
+
+
+def test_chunk_documents_windows(spark):
+    """Overlapping chunking: full coverage, correct overlap, ragged
+    tail never empty and never duplicated, short docs yield one chunk,
+    empty/NULL docs yield none — checked against a python reference."""
+    from polardbx_tools_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # even fit
+            (2, " ".join(f"u{i}" for i in range(9))),    # ragged tail
+            (3, "a b c"),                                # shorter than window
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = packing.chunk_documents(docs, window=4, stride=2) \
+        .orderBy("doc_id", "chunk_idx").collect()
+
+    def ref(words, w, s):
+        n = len(words)
+        if n == 0:
+            return []
+        m = 1 if n <= w else -((-(n - w)) // s) + 1
+        return [words[i * s: i * s + w] for i in range(m)]
+
+    exp = []
+    for did, txt in [(1, [f"t{i}" for i in range(10)]),
+                     (2, [f"u{i}" for i in range(9)]),
+                     (3, ["a", "b", "c"])]:
+        for ci, ch in enumerate(ref(txt, 4, 2)):
+            exp.append((did, ci, " ".join(ch), len(ch)))
+    assert [(r["doc_id"], r["chunk_idx"], r["chunk_text"],
+             r["n_chunk_tokens"]) for r in got] == exp
+    # non-overlapping default stride: chunks partition the doc exactly
+    nl = packing.chunk_documents(docs, window=4).filter("doc_id = 2") \
+        .orderBy("chunk_idx").collect()
+    assert [r["chunk_text"] for r in nl] == [
+        " ".join(f"u{i}" for i in range(4)),
+        " ".join(f"u{i}" for i in range(4, 8)),
+        "u8",
+    ]
+    # expression-only plan: no shuffle, no python
+    plan = packing.chunk_documents(docs, 4, 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
