@@ -150,6 +150,97 @@ def pack_sequences(
     )
 
 
+def materialize_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+    keep_ragged_tail: bool = False,
+) -> DataFrame:
+    """Physically build the packed training sequences from
+    :func:`pack_sequences` placement: returns
+    ``(seq_idx, seq_text, n_docs, n_tokens)`` with every sequence
+    exactly ``budget`` whitespace tokens (the ragged last sequence is
+    dropped unless ``keep_ragged_tail``).
+
+    A doc spanning sequences contributes the token slice that falls in
+    each one: per (doc × spanned sequence) — overlap factor ~1, since
+    boundary docs are rare relative to the corpus — one row is emitted
+    with its in-sequence position, then ONE shuffle on ``seq_idx``
+    groups and orders each sequence's pieces. Assembly is
+    ``concat_ws(sort_array(...))`` — builtin aggregation, no UDF.
+    """
+    placement = pack_sequences(
+        docs, budget, text_col=text_col, id_col=id_col,
+        order_col=order_col, num_partitions=num_partitions,
+    )
+    from polardbx_tools_spark.operators.text import tokens
+
+    joined = docs.select(id_col, text_col).join(placement, on=id_col)
+    toks = tokens(F.col(text_col))
+    g = F.col("global_offset")
+    # one row per (doc, spanned sequence): the token slice inside it
+    pieces = (
+        joined.filter(F.col("n_seqs") > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            g,
+            F.col("n_tokens"),
+            F.explode(
+                F.sequence(
+                    F.col("seq_idx"),
+                    F.col("seq_idx") + F.col("n_seqs") - 1,
+                )
+            ).alias("seq_idx"),
+        )
+        .select(
+            "seq_idx",
+            F.col(id_col),
+            # position of this piece inside its sequence
+            F.greatest(g, F.col("seq_idx") * budget)
+            .cast("long").alias("_pos"),
+            F.slice(
+                F.col("_toks"),
+                # 1-based start inside the doc's token array
+                (
+                    F.greatest(g, F.col("seq_idx") * budget) - g + 1
+                ).cast("int"),
+                (
+                    F.least(
+                        g + F.col("n_tokens"),
+                        (F.col("seq_idx") + 1) * budget,
+                    )
+                    - F.greatest(g, F.col("seq_idx") * budget)
+                ).cast("int"),
+            ).alias("_piece"),
+        )
+    )
+    out = (
+        pieces.groupBy("seq_idx")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("_pos", "_piece"))
+                        ),
+                        lambda s: s["_piece"],
+                    )
+                ),
+            ).alias("seq_text"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("_piece")).cast("long").alias("n_tokens"),
+        )
+    )
+    if not keep_ragged_tail:
+        out = out.filter(F.col("n_tokens") == budget)
+    return out
+
+
 def chunk_documents(
     docs: DataFrame,
     window: int,

@@ -1001,3 +1001,38 @@ def test_chunk_documents_windows(spark):
     plan = packing.chunk_documents(docs, 4, 2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_materialize_sequences_roundtrip(spark):
+    """Physical packing: every materialized sequence is exactly budget
+    tokens, and re-concatenating all sequences (tail kept) in order
+    reproduces the id-ordered concatenation of the corpus token stream
+    — boundary docs are sliced, never duplicated or dropped."""
+    from polardbx_tools_spark.operators import packing
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(120)
+    budget = 100  # small: forces many boundary docs
+    seqs = packing.materialize_sequences(
+        d, budget, num_partitions=7, keep_ragged_tail=True
+    ).orderBy("seq_idx").collect()
+
+    full = [r["seq_idx"] for r in seqs if r["n_tokens"] == budget]
+    assert len(full) >= 10
+    # sequence indexes are contiguous from 0; only the last is ragged
+    assert [r["seq_idx"] for r in seqs] == list(range(len(seqs)))
+    assert all(r["n_tokens"] == budget for r in seqs[:-1])
+
+    stream = " ".join(r["seq_text"] for r in seqs).split()
+    pdf = d.toPandas().sort_values("doc_id")
+    exp = [t for txt in pdf["text"] if isinstance(txt, str)
+           for t in txt.split()]
+    assert stream == exp
+
+    # default drops the ragged tail
+    full_only = packing.materialize_sequences(
+        d, budget, num_partitions=7
+    )
+    expected = (len(seqs) - 1 if seqs[-1]["n_tokens"] < budget
+                else len(seqs))
+    assert full_only.count() == expected
