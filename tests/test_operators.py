@@ -1036,3 +1036,53 @@ def test_materialize_sequences_roundtrip(spark):
     expected = (len(seqs) - 1 if seqs[-1]["n_tokens"] < budget
                 else len(seqs))
     assert full_only.count() == expected
+
+
+def test_transcripts_to_documents_rendering(spark):
+    """Lake-state transcripts become deterministic training documents:
+    turns render in turn_idx order regardless of row order, tool turns
+    show the tool name, NULL text keeps its turn, pre-evolution frames
+    (no tool column) work, and the output feeds pack_sequences."""
+    from polardbx_tools_spark.operators import packing, transcripts
+
+    rows = [
+        ("c1", 2, "assistant", "the answer is 4", None),
+        ("c1", 1, "user", "what is 2+2?", None),
+        ("c1", 3, "tool", "calc(2+2)=4", "calculator"),
+        ("c2", 1, "user", None, None),
+        ("c2", 2, "assistant", "hello", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    got = {r["conv_id"]: r
+           for r in transcripts.transcripts_to_documents(df).collect()}
+    assert got["c1"]["text"] == (
+        "user: what is 2+2?\n"
+        "assistant: the answer is 4\n"
+        "tool(calculator): calc(2+2)=4"
+    )
+    assert (got["c1"]["n_turns"], got["c1"]["n_assistant_turns"],
+            got["c1"]["n_tool_turns"]) == (3, 1, 1)
+    assert got["c2"]["text"] == "user: \nassistant: hello"
+
+    # pre-evolution frame: no tool column
+    pre = df.drop("tool")
+    got2 = {r["conv_id"]: r
+            for r in transcripts.transcripts_to_documents(pre).collect()}
+    assert got2["c1"]["text"].endswith("tool: calc(2+2)=4")
+    assert got2["c1"]["n_tool_turns"] == 0
+
+    # corpus stats: hand-checked
+    st = transcripts.conversation_stats(df).collect()[0]
+    # tokens: c1 = 3 + 4 + 1, c2 = NULL + 1 → 9; assistant = 4 + 1 = 5
+    assert (st["n_conversations"], st["n_turns"], st["n_tokens"]) == (2, 5, 9)
+    assert st["avg_turns_per_conv"] == 2.5
+    assert st["assistant_token_share"] == round(5 / 9, 6)
+
+    # composes with packing: documents in, placement out, exact cover
+    docs = transcripts.transcripts_to_documents(df) \
+        .withColumnRenamed("conv_id", "doc_id")
+    p = packing.pack_sequences(docs, 8, id_col="doc_id").collect()
+    assert sum(r["n_tokens"] for r in p) == \
+        sum(len(x["text"].split()) for x in docs.collect())
