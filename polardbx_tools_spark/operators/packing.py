@@ -150,6 +150,96 @@ def pack_sequences(
     )
 
 
+def _sequence_pieces(
+    docs: DataFrame,
+    budget: int,
+    text_col: str,
+    id_col: str,
+    order_col: str | None,
+    num_partitions: int | None,
+) -> DataFrame:
+    """One row per (doc × spanned sequence): the token slice of the doc
+    that falls inside that sequence, with its absolute position. Shared
+    by :func:`materialize_sequences` (groups pieces into texts) and
+    :func:`sequence_manifest` (ships them to the data loader)."""
+    placement = pack_sequences(
+        docs, budget, text_col=text_col, id_col=id_col,
+        order_col=order_col, num_partitions=num_partitions,
+    )
+    from polardbx_tools_spark.operators.text import tokens
+
+    joined = docs.select(id_col, text_col).join(placement, on=id_col)
+    toks = tokens(F.col(text_col))
+    g = F.col("global_offset")
+    return (
+        joined.filter(F.col("n_seqs") > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            g,
+            F.col("n_tokens"),
+            F.explode(
+                F.sequence(
+                    F.col("seq_idx"),
+                    F.col("seq_idx") + F.col("n_seqs") - 1,
+                )
+            ).alias("seq_idx"),
+        )
+        .select(
+            "seq_idx",
+            F.col(id_col),
+            # absolute token position of this piece (piece position
+            # inside its sequence = _pos % budget)
+            F.greatest(g, F.col("seq_idx") * budget)
+            .cast("long").alias("_pos"),
+            # where the piece starts inside its own doc's tokens
+            (F.greatest(g, F.col("seq_idx") * budget) - g)
+            .cast("long").alias("_doc_off"),
+            F.slice(
+                F.col("_toks"),
+                # 1-based start inside the doc's token array
+                (
+                    F.greatest(g, F.col("seq_idx") * budget) - g + 1
+                ).cast("int"),
+                (
+                    F.least(
+                        g + F.col("n_tokens"),
+                        (F.col("seq_idx") + 1) * budget,
+                    )
+                    - F.greatest(g, F.col("seq_idx") * budget)
+                ).cast("int"),
+            ).alias("_piece"),
+        )
+    )
+
+
+def sequence_manifest(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Loader-side sidecar for the packed sequences: one row per
+    (sequence, document piece) —
+    ``(seq_idx, id_col, seq_offset, doc_offset, n_tokens)`` — saying
+    which doc's tokens occupy positions
+    ``[seq_offset, seq_offset + n_tokens)`` of sequence ``seq_idx``
+    (taken from the doc's own tokens starting at ``doc_offset``).
+    This is what attention-mask resets and per-doc loss masks are built
+    from; no text is shipped, so the manifest stays narrow."""
+    return _sequence_pieces(
+        docs, budget, text_col, id_col, order_col, num_partitions
+    ).select(
+        "seq_idx",
+        F.col(id_col),
+        (F.col("_pos") % budget).cast("long").alias("seq_offset"),
+        F.col("_doc_off").alias("doc_offset"),
+        F.size("_piece").cast("long").alias("n_tokens"),
+    )
+
+
 def materialize_sequences(
     docs: DataFrame,
     budget: int,
@@ -172,51 +262,8 @@ def materialize_sequences(
     groups and orders each sequence's pieces. Assembly is
     ``concat_ws(sort_array(...))`` — builtin aggregation, no UDF.
     """
-    placement = pack_sequences(
-        docs, budget, text_col=text_col, id_col=id_col,
-        order_col=order_col, num_partitions=num_partitions,
-    )
-    from polardbx_tools_spark.operators.text import tokens
-
-    joined = docs.select(id_col, text_col).join(placement, on=id_col)
-    toks = tokens(F.col(text_col))
-    g = F.col("global_offset")
-    # one row per (doc, spanned sequence): the token slice inside it
-    pieces = (
-        joined.filter(F.col("n_seqs") > 0)
-        .select(
-            F.col(id_col),
-            toks.alias("_toks"),
-            g,
-            F.col("n_tokens"),
-            F.explode(
-                F.sequence(
-                    F.col("seq_idx"),
-                    F.col("seq_idx") + F.col("n_seqs") - 1,
-                )
-            ).alias("seq_idx"),
-        )
-        .select(
-            "seq_idx",
-            F.col(id_col),
-            # position of this piece inside its sequence
-            F.greatest(g, F.col("seq_idx") * budget)
-            .cast("long").alias("_pos"),
-            F.slice(
-                F.col("_toks"),
-                # 1-based start inside the doc's token array
-                (
-                    F.greatest(g, F.col("seq_idx") * budget) - g + 1
-                ).cast("int"),
-                (
-                    F.least(
-                        g + F.col("n_tokens"),
-                        (F.col("seq_idx") + 1) * budget,
-                    )
-                    - F.greatest(g, F.col("seq_idx") * budget)
-                ).cast("int"),
-            ).alias("_piece"),
-        )
+    pieces = _sequence_pieces(
+        docs, budget, text_col, id_col, order_col, num_partitions
     )
     out = (
         pieces.groupBy("seq_idx")

@@ -1086,3 +1086,50 @@ def test_transcripts_to_documents_rendering(spark):
     p = packing.pack_sequences(docs, 8, id_col="doc_id").collect()
     assert sum(r["n_tokens"] for r in p) == \
         sum(len(x["text"].split()) for x in docs.collect())
+
+
+def test_sequence_manifest_tiles_and_masks(spark):
+    """The loader sidecar: each sequence's manifest rows tile
+    [0, budget) exactly; each doc's pieces tile [0, n_doc_tokens); and
+    cross-checking against the materialized text, the manifest's
+    (seq_offset, doc_offset, n) really addresses the same tokens in
+    both — i.e. a loss mask built from it lands on the right spans."""
+    from collections import defaultdict
+
+    from polardbx_tools_spark.operators import packing
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(60)
+    budget = 90
+    man = packing.sequence_manifest(d, budget, num_partitions=5).collect()
+    seqs = {r["seq_idx"]: r["seq_text"] for r in
+            packing.materialize_sequences(
+                d, budget, num_partitions=5, keep_ragged_tail=True
+            ).collect()}
+    docs = {r["doc_id"]: (r["text"] or "").split() for r in d.collect()}
+
+    by_seq, by_doc = defaultdict(list), defaultdict(list)
+    for r in man:
+        by_seq[r["seq_idx"]].append(r)
+        by_doc[r["doc_id"]].append(r)
+    last = max(by_seq)
+    for s, rows in by_seq.items():
+        rows.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for r in rows:
+            assert r["seq_offset"] == pos
+            pos += r["n_tokens"]
+        assert pos == budget or (s == last and 0 < pos <= budget)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["doc_offset"])
+        pos = 0
+        for r in rows:
+            assert r["doc_offset"] == pos
+            pos += r["n_tokens"]
+        assert pos == len(docs[did])
+    # address the same tokens on both sides
+    for r in man:
+        st = seqs[r["seq_idx"]].split()
+        a = st[r["seq_offset"]: r["seq_offset"] + r["n_tokens"]]
+        b = docs[r["doc_id"]][r["doc_offset"]: r["doc_offset"] + r["n_tokens"]]
+        assert a == b

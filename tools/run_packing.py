@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--budget", type=int, required=True)
     ap.add_argument("--sequences", default=None,
                     help="also materialize the physical sequence texts")
+    ap.add_argument("--manifest", default=None,
+                    help="also write the loader sidecar: one row per "
+                         "(sequence, doc piece) for attention/loss masks")
     ap.add_argument("--keep-ragged-tail", action="store_true")
     ap.add_argument("--from-transcripts", action="store_true",
                     help="input is turn-level lake state; render one "
@@ -53,6 +56,7 @@ def main() -> None:
 
     from polardbx_tools_spark.operators.packing import (
         materialize_sequences, pack_sequences, packing_stats,
+        sequence_manifest,
     )
 
     spark = SparkSession.builder.getOrCreate()  # master/conf: spark-submit
@@ -76,6 +80,11 @@ def main() -> None:
             order_col=args.order_col, num_partitions=args.partitions,
             keep_ragged_tail=args.keep_ragged_tail,
         ).write.mode("overwrite").parquet(args.sequences)
+    if args.manifest:
+        sequence_manifest(
+            docs, args.budget, text_col=args.text_col, id_col=args.id_col,
+            order_col=args.order_col, num_partitions=args.partitions,
+        ).write.mode("overwrite").parquet(args.manifest)
     stats = packing_stats(
         spark.read.parquet(args.placement), args.budget
     ).collect()[0].asDict()
