@@ -1,0 +1,128 @@
+"""Training-mix assembly: combine curated corpora into one training set
+whose token mass matches prescribed source weights (the "data mixture"
+step between curation and packing).
+
+Given sources S with weights w_s (sum 1) and available token masses
+T_s, the mixture size is ``target_tokens`` when given, else the
+largest no-repetition mixture M = min_s T_s / w_s; source s then needs
+p_s = M * w_s / T_s of its tokens. p_s <= 1 downsamples; p_s > 1
+oversamples — the doc is repeated floor(p_s) times (``epoch`` column
+0..k) and the fractional remainder is sampled, which is how small
+high-quality sources are upweighted across training epochs.
+
+Scale shape: per-source token masses are one bounded aggregate each;
+selection is a pure per-row predicate on a salted ``xxhash64`` of the
+id (deterministic under ``seed``, no shuffle, no sort); repetition is
+``explode(sequence(...))``. The union is by name with a ``source``
+label, so the output feeds :mod:`packing` directly — pass
+``order_col`` there on a hash of (source, id, epoch) to interleave
+sources instead of concatenating them block-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 1 << 30
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    target_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted mixture of document corpora.
+
+    Returns the union of the sampled sources with columns
+    ``(source, epoch, id_col, text_col, n_tokens)`` — ``epoch`` > 0
+    marks oversampled repeats. Weights are normalized; sources must be
+    non-empty. Sampling is per-row on ``xxhash64(source, id, seed)``,
+    so membership is stable across runs and cluster sizes.
+    """
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have the same keys")
+    if not sources:
+        raise ValueError("need at least one source")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum > 0")
+    norm = {k: w / wsum for k, w in weights.items()}
+
+    from polardbx_tools_spark.operators.text import token_count
+
+    def with_tokens(df):
+        if token_col is not None:
+            n = F.coalesce(F.col(token_col), F.lit(0)).cast("long")
+        else:
+            n = F.coalesce(token_count(F.col(text_col)), F.lit(0)) \
+                .cast("long")
+        return df.select(id_col, text_col, n.alias("n_tokens"))
+
+    prepped = {k: with_tokens(df) for k, df in sources.items()}
+    # bounded: one single-row aggregate per source
+    masses = {
+        k: (df.agg(F.sum("n_tokens")).collect()[0][0] or 0)
+        for k, df in prepped.items()
+    }
+    for k, t in masses.items():
+        if t <= 0:
+            raise ValueError(f"source {k!r} has no tokens")
+    if target_tokens is not None:
+        mixture = float(target_tokens)
+    else:
+        mixture = min(masses[k] / norm[k] for k in norm if norm[k] > 0)
+
+    out = None
+    for k, df in prepped.items():
+        p = mixture * norm[k] / masses[k]
+        whole, frac = int(p), p - int(p)
+        h = F.abs(F.xxhash64(F.lit(k), F.col(id_col), F.lit(seed)))
+        picked = (
+            df.withColumn(
+                "_copies",
+                F.lit(whole)
+                + ((h % _DENOM) < F.lit(int(frac * _DENOM))).cast("int"),
+            )
+            .filter(F.col("_copies") > 0)
+            .select(
+                F.lit(k).alias("source"),
+                F.explode(
+                    F.sequence(F.lit(0), F.col("_copies") - 1)
+                ).alias("epoch"),
+                F.col(id_col),
+                F.col(text_col),
+                F.col("n_tokens"),
+            )
+        )
+        out = picked if out is None else out.unionByName(picked)
+    return out
+
+
+def mixture_stats(mixed: DataFrame) -> DataFrame:
+    """Achieved mixture per source:
+    ``(source, n_docs, n_tokens, token_share, max_epoch)`` — compare
+    ``token_share`` against the requested weights to see sampling
+    error (small, ∝ 1/sqrt(docs picked))."""
+    per = mixed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+    )
+    return (
+        per.crossJoin(
+            F.broadcast(per.agg(F.sum("n_tokens").alias("_tot")))
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6)
+            .alias("token_share"),
+            "max_epoch",
+        )
+    )

@@ -1133,3 +1133,55 @@ def test_sequence_manifest_tiles_and_masks(spark):
         a = st[r["seq_offset"]: r["seq_offset"] + r["n_tokens"]]
         b = docs[r["doc_id"]][r["doc_offset"]: r["doc_offset"] + r["n_tokens"]]
         assert a == b
+
+
+def test_mix_corpora_weights_and_epochs(spark):
+    """Weighted mixture: achieved token shares track the requested
+    weights; a small high-weight source oversamples with epoch counts;
+    membership is deterministic under the seed; target_tokens caps the
+    mixture."""
+    from polardbx_tools_spark.operators import mixing
+
+    big = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 10), i -> concat('b', id, '_', i))) AS text",
+    )  # 20,000 tokens
+    small = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 10), i -> concat('s', id, '_', i))) AS text",
+    )  # 1,000 tokens
+    mixed = mixing.mix_corpora(
+        {"web": big, "books": small}, {"web": 0.5, "books": 0.5}, seed=7
+    )
+    st = {r["source"]: r for r in mixing.mixture_stats(mixed).collect()}
+    # faithful mixture: M = min(20000/0.5, 1000/0.5) = 2000 tokens
+    assert st["books"]["n_tokens"] == 1000      # p = 1.0 exactly: all kept
+    assert st["books"]["max_epoch"] == 0
+    assert abs(st["web"]["n_tokens"] - 1000) < 300   # p = 0.05 sampled
+    assert 0.3 < st["web"]["token_share"] < 0.7
+
+    # oversampling: books weighted 4x its fair share of the pair
+    over = mixing.mix_corpora(
+        {"web": big, "books": small}, {"web": 0.2, "books": 0.8},
+        target_tokens=4000, seed=7,
+    )
+    st2 = {r["source"]: r for r in mixing.mixture_stats(over).collect()}
+    # books needs 3200 of its 1000 tokens → 3 full epochs + 0.2 sampled
+    assert st2["books"]["max_epoch"] >= 3
+    assert abs(st2["books"]["n_tokens"] - 3200) < 400
+    assert abs(st2["web"]["n_tokens"] - 800) < 300
+
+    # determinism: identical membership under the same seed
+    a = sorted((r["source"], r["doc_id"], r["epoch"])
+               for r in mixed.collect())
+    b = sorted((r["source"], r["doc_id"], r["epoch"])
+               for r in mixing.mix_corpora(
+                   {"web": big, "books": small},
+                   {"web": 0.5, "books": 0.5}, seed=7).collect())
+    assert a == b
+    # different seed shifts the sampled web subset
+    c = sorted((r["source"], r["doc_id"], r["epoch"])
+               for r in mixing.mix_corpora(
+                   {"web": big, "books": small},
+                   {"web": 0.5, "books": 0.5}, seed=8).collect())
+    assert a != c
