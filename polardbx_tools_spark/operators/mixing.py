@@ -21,7 +21,7 @@ sources instead of concatenating them block-wise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _DENOM = 1 << 30
@@ -101,6 +101,16 @@ def mix_corpora(
         )
         out = picked if out is None else out.unionByName(picked)
     return out
+
+
+def interleave_key(id_col: str = "doc_id", seed: int = 0) -> Column:
+    """Order key over :func:`mix_corpora` output that scatters sources
+    (and epoch repeats of the same doc) uniformly through the packed
+    token stream — pass as ``order_col`` to ``packing.pack_sequences``
+    so a batch window sees the mixture's weights instead of one source
+    block. Deterministic under ``seed``; distinct per (source, id,
+    epoch) so range partitioning has no heavy ties."""
+    return F.xxhash64("source", F.col(id_col), "epoch", F.lit(seed))
 
 
 def mixture_stats(mixed: DataFrame) -> DataFrame:
