@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polardbx_tools_spark.operators import (
-    dedup, masking, similarity, temporal, text,
+    dedup, masking, mixing, packing, similarity, temporal, text, transcripts,
 )
 from polardbx_tools_spark import report as rpt
 
@@ -765,10 +765,14 @@ def _q_text_metrics(spark, sf):
     estimate), quality signals (stopword/punct ratios, mean word
     length, composite score), and Gopher-style intra-document
     REPETITION signals (duplicate-line fraction, duplicate-2-gram
-    fraction, top-2-gram fraction) — one projection, no shuffle."""
+    fraction, top-2-gram fraction) — one projection, no shuffle.
+    ``pred_lang`` carries the language-ID heuristic per doc (this is the
+    former text_lang_id slot, folded in as a column: per-doc assertion
+    is strictly stronger than the old 3-row aggregate)."""
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
+        text.lang_id(F.col("text")).alias("pred_lang"),
         text.token_count(F.col("text")).alias("n_tokens"),
         text.bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
         F.round(text.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
@@ -782,13 +786,62 @@ def _q_text_metrics(spark, sf):
     )
 
 
-def _q_text_lang_id(spark, sf):
-    d = _t(spark, sf, "documents")
-    return (
-        d.select(text.lang_id(F.col("text")).alias("pred_lang"))
-        .groupBy("pred_lang")
-        .agg(F.count("*").cast("long").alias("n"))
+def _q_window_suite(spark, sf):
+    """§2.6 window-function operator classes in ONE labelled-union gate
+    entry (50-cap consolidation; each class stays a separate function
+    above): 'tumbling' = event-time tumbling windows (F.window),
+    'pct' = ordered-set percentile aggregates, 'running' = rolling +
+    cumulative window frames. Counts travel as doubles (exact < 2^53);
+    unused slots are pinned (-1.0 / '') on both engines."""
+    t = _q_tumbling_window_counts(spark, sf).select(
+        F.lit("tumbling").alias("leg"),
+        F.col("w_start").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_events").cast("double").alias("v1"),
+        F.col("n_users").cast("double").alias("v2"),
+        F.lit(-1.0).alias("v3"),
     )
+    p = _q_rt_percentiles(spark, sf).select(
+        F.lit("pct").alias("leg"),
+        F.col("op_class").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("p50").alias("v1"),
+        F.col("p90").alias("v2"),
+        F.col("p99").alias("v3"),
+    )
+    r = _q_window_running_stats(spark, sf).select(
+        F.lit("running").alias("leg"),
+        F.col("event_id").cast("string").alias("k1"),
+        F.col("user_id").cast("string").alias("k2"),
+        F.col("mavg_4").alias("v1"),
+        F.col("cum_events").cast("double").alias("v2"),
+        F.col("cum_value").alias("v3"),
+    )
+    return t.unionByName(p).unionByName(r)
+
+
+def _q_report_suite(spark, sf):
+    """A4 latency histogram + A5 run-totals sheet in one labelled union
+    (50-cap consolidation): 'hist' rows are (bucket, count), 'summary'
+    rows are the one-row totals sheet unpivoted to (metric, value)."""
+    ev = _t(spark, sf, "events")
+    rt = F.col("value") / 1000.0
+    hist = rpt.rt_histogram(ev, rt).select(
+        F.lit("hist").alias("leg"),
+        F.col("bucket").alias("k"),
+        F.col("n").cast("double").alias("v"),
+    )
+    summ = (
+        rpt.summary_report(ev, rt, (F.col("event_type") == "error").cast("int"))
+        .selectExpr(
+            "stack(6, 'requests', CAST(requests AS DOUBLE), "
+            "'errors', CAST(errors AS DOUBLE), "
+            "'success_rate', success_rate, 'avg_rt', avg_rt, "
+            "'min_rt', min_rt, 'max_rt', max_rt) AS (k, v)"
+        )
+        .select(F.lit("summary").alias("leg"), "k", "v")
+    )
+    return hist.unionByName(summ)
 
 
 def _q_decontaminate(spark, sf):
@@ -874,6 +927,130 @@ def _q_corpus_curation(spark, sf):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+def _q_transcript_documents(spark, sf):
+    """Transcript→corpus bridge (the tier's input-hint table shape,
+    operators/transcripts.py): a deterministic (conv_id, turn_idx, role,
+    text, tool) frame is derived from documents — 4 turns per
+    conversation, the last turn carrying a tool call — and
+    transcripts_to_documents renders ONE training document per
+    conversation (one shuffle; builtin sort_array/transform/array_join
+    rendering, no UDF). Oracle re-renders with string_agg ORDER BY
+    turn_idx."""
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    frame = d.select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("conv_id"),
+        m.cast("long").alias("turn_idx"),
+        F.when(m == 0, "system")
+        .when(m == 1, "user")
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.substring("text", 1, 120).alias("text"),
+        F.when(m == 3, F.lit("search")).alias("tool"),
+    )
+    return transcripts.transcripts_to_documents(frame)
+
+
+_PACK_BUDGET = 64
+
+
+def _q_pack_sequences(spark, sf):
+    """Training-sequence packing family (operators/packing.py) in one
+    labelled union: 'placement' = per-doc pack_sequences placement (the
+    distributed prefix sum), 'manifest' = per-(sequence × doc-piece)
+    loss-mask sidecar, 'seq' = physically materialized budget-token
+    sequences (md5 of seq_text; ragged tail dropped). Budget 64 tokens
+    (docs average ~54) so boundary-straddling docs are common at every
+    sf. Oracle: the identical placement arithmetic as a SQL window
+    cumsum + slice/string_agg re-assembly."""
+    d = _t(spark, sf, "documents")
+    B = _PACK_BUDGET
+    neg1 = F.lit(-1).cast("long")
+    placement = packing.pack_sequences(d, B).select(
+        F.lit("placement").alias("leg"),
+        "doc_id",
+        "seq_idx",
+        "seq_offset",
+        "n_tokens",
+        F.col("global_offset").alias("aux_off"),
+        F.col("n_seqs").alias("aux_n"),
+        F.lit("").alias("seq_md5"),
+    )
+    manifest = packing.sequence_manifest(d, B).select(
+        F.lit("manifest").alias("leg"),
+        "doc_id",
+        "seq_idx",
+        "seq_offset",
+        "n_tokens",
+        F.col("doc_offset").alias("aux_off"),
+        neg1.alias("aux_n"),
+        F.lit("").alias("seq_md5"),
+    )
+    seqs = packing.materialize_sequences(d, B).select(
+        F.lit("seq").alias("leg"),
+        neg1.alias("doc_id"),
+        "seq_idx",
+        neg1.alias("seq_offset"),
+        "n_tokens",
+        F.col("n_docs").alias("aux_off"),
+        neg1.alias("aux_n"),
+        F.md5(F.encode("seq_text", "UTF-8")).alias("seq_md5"),
+    )
+    return placement.unionByName(manifest).unionByName(seqs)
+
+
+def _q_chunk_documents(spark, sf):
+    """Overlapping token-window chunking (retrieval/eval prep;
+    operators/packing.py chunk_documents): window 32, stride 24 — pure
+    expression (sequence + transform + one explode), no shuffle."""
+    d = _t(spark, sf, "documents")
+    return packing.chunk_documents(d, window=32, stride=24)
+
+
+def _q_training_mix(spark, sf):
+    """Weighted training-mix assembly (operators/mixing.py): two corpus
+    slices (even/odd doc_id) mixed so the even slice runs exactly 2
+    epochs and the odd slice 3 (weights ∝ 2·T_even : 3·T_odd with
+    target = 2·T_even + 3·T_odd — integer epoch ratios by construction,
+    so the oracle enumerates the same epochs in SQL; the fractional
+    hash-sampling path is pytest-pinned). Output: per-(source, epoch)
+    doc/token mass + grand-total token share — the mixture_stats
+    arithmetic at epoch grain."""
+    d = _t(spark, sf, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    masses = {
+        k: df.select(
+            F.sum(text.token_count(F.col("text")).cast("long"))
+        ).collect()[0][0]
+        for k, df in (("even", even), ("odd", odd))
+    }
+    target = 2 * masses["even"] + 3 * masses["odd"]
+    mixed = mixing.mix_corpora(
+        {"even": even, "odd": odd},
+        weights={
+            "even": 2 * masses["even"] / target,
+            "odd": 3 * masses["odd"] / target,
+        },
+        target_tokens=target,
+    )
+    per = mixed.groupBy("source", "epoch").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    # 5-row relation at this point — the all-rows window is bounded
+    tot = Window.partitionBy()
+    return per.select(
+        "source",
+        F.col("epoch").cast("long").alias("epoch"),
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(tot), 6
+        ).alias("token_share"),
     )
 
 
@@ -1100,14 +1277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_roundtrip": _q_cdc_lake_roundtrip,
         "cdc_multi_table_apply": _q_cdc_multi_table_apply,
         "cdc_incremental_read": _q_cdc_incremental_read,
-        "tumbling_window_counts": _q_tumbling_window_counts,
-        "rt_percentiles": _q_rt_percentiles,
-        "window_running_stats": _q_window_running_stats,
+        "window_suite": _q_window_suite,
         "asof_enrich": _q_asof_enrich,
         "range_join_windows": _q_range_join_windows,
         "fingerprint_report": _q_fingerprint_report,
-        "rt_histogram": _q_rt_histogram,
-        "summary_report": _q_summary_report,
+        "report_suite": _q_report_suite,
         "projection_filter": _q_projection_filter,
         "masking_suite": _q_masking_suite,
         "update_transforms": _q_update_transforms,
@@ -1124,8 +1298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _q_topk_orders,
         "text_metrics": _q_text_metrics,
         "text_tfidf_top_terms": _q_text_tfidf_top_terms,
-        "text_lang_id": _q_text_lang_id,
         "decontaminate": _q_decontaminate,
+        "transcript_documents": _q_transcript_documents,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
+        "training_mix": _q_training_mix,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_sample_stratified": _q_corpus_sample_stratified,
         "corpus_split_leakproof": _q_corpus_split_leakproof,
@@ -1269,30 +1446,40 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM r WHERE rn = 1 AND event_type <> 'error'
         """,
-        "tumbling_window_counts": """
-            SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
-                   event_type,
-                   CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-            FROM events GROUP BY 1, 2
-        """,
-        "rt_percentiles": """
-            SELECT CASE WHEN event_type IN ('view','click') THEN 'DQL'
-                        ELSE 'DML' END AS op_class,
-                   round(quantile_cont(value/1000.0, 0.5), 6) AS p50,
-                   round(quantile_cont(value/1000.0, 0.9), 6) AS p90,
-                   round(quantile_cont(value/1000.0, 0.99), 6) AS p99
-            FROM events GROUP BY 1
-        """,
-        "window_running_stats": """
-            SELECT event_id, user_id,
-                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg_4,
-                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
-                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING), 4) AS cum_value
-            FROM events
+        "window_suite": """
+            WITH tw AS (
+              SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+                     event_type,
+                     count(*) AS n_events,
+                     count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1, 2),
+            pc AS (
+              SELECT CASE WHEN event_type IN ('view','click') THEN 'DQL'
+                          ELSE 'DML' END AS op_class,
+                     round(quantile_cont(value/1000.0, 0.5), 6) AS p50,
+                     round(quantile_cont(value/1000.0, 0.9), 6) AS p90,
+                     round(quantile_cont(value/1000.0, 0.99), 6) AS p99
+              FROM events GROUP BY 1),
+            ru AS (
+              SELECT event_id, user_id,
+                     round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg_4,
+                     count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_events,
+                     round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+              FROM events)
+            SELECT 'tumbling' AS leg, w_start AS k1, event_type AS k2,
+                   CAST(n_events AS DOUBLE) AS v1,
+                   CAST(n_users AS DOUBLE) AS v2, -1.0 AS v3
+            FROM tw
+            UNION ALL
+            SELECT 'pct', op_class, '', p50, p90, p99 FROM pc
+            UNION ALL
+            SELECT 'running', CAST(event_id AS VARCHAR),
+                   CAST(user_id AS VARCHAR), mavg_4,
+                   CAST(cum_events AS DOUBLE), cum_value
+            FROM ru
         """,
         "asof_enrich": """
             WITH quotes AS (
@@ -1326,24 +1513,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(list_slice(list_sort(list(DISTINCT props) FILTER (WHERE event_type='error')), 1, 5), ','), '') AS error_samples
             FROM events GROUP BY 1
         """,
-        "rt_histogram": """
-            SELECT CASE WHEN value/1000.0 < 0.001 THEN '<1ms'
+        "report_suite": """
+            WITH s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS requests,
+                     CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS DOUBLE) AS errors,
+                     round(1.0 - sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS success_rate,
+                     round(avg(value/1000.0), 6) AS avg_rt,
+                     round(min(value/1000.0), 6) AS min_rt,
+                     round(max(value/1000.0), 6) AS max_rt
+              FROM events)
+            SELECT 'hist' AS leg,
+                   CASE WHEN value/1000.0 < 0.001 THEN '<1ms'
                         WHEN value/1000.0 < 0.01 THEN '1-10ms'
                         WHEN value/1000.0 < 0.1 THEN '10-100ms'
                         WHEN value/1000.0 < 1.0 THEN '100ms-1s'
                         WHEN value/1000.0 < 10.0 THEN '1-10s'
-                        ELSE '>10s' END AS bucket,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM events GROUP BY 1
-        """,
-        "summary_report": """
-            SELECT CAST(count(*) AS BIGINT) AS requests,
-                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-                   round(1.0 - sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS success_rate,
-                   round(avg(value/1000.0), 6) AS avg_rt,
-                   round(min(value/1000.0), 6) AS min_rt,
-                   round(max(value/1000.0), 6) AS max_rt
-            FROM events
+                        ELSE '>10s' END AS k,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM events GROUP BY 2
+            UNION ALL SELECT 'summary', 'requests', requests FROM s
+            UNION ALL SELECT 'summary', 'errors', errors FROM s
+            UNION ALL SELECT 'summary', 'success_rate', success_rate FROM s
+            UNION ALL SELECT 'summary', 'avg_rt', avg_rt FROM s
+            UNION ALL SELECT 'summary', 'min_rt', min_rt FROM s
+            UNION ALL SELECT 'summary', 'max_rt', max_rt FROM s
         """,
         "projection_filter": """
             SELECT l_orderkey, l_linenumber,
@@ -1509,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
                      {_TOKS} AS toks,
                      {_TOKS_L} AS toks_l,
                      length(text) AS n_chars,
+                     length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS n_ascii,
                      length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
                      list_filter(list_transform(string_split(text, chr(10)),
                                  x -> trim(x)), x -> x <> '') AS lines,
@@ -1520,6 +1714,13 @@ def oracle_sql() -> dict[str, str]:
                      md5({_NORM}) AS fp
               FROM documents)
             SELECT doc_id,
+                   CASE WHEN n_chars > 0 AND n_ascii * 1.0 / n_chars < 0.8
+                        THEN 'other'
+                        WHEN len(toks_l) > 0 AND
+                             len(list_filter(toks_l, x -> x IN {_STOP_IN})) * 1.0 /
+                             len(toks_l) >= 0.08
+                        THEN 'en'
+                        ELSE 'unk' END AS pred_lang,
                    CAST(len(toks) AS INTEGER) AS n_tokens,
                    CAST(ceil(n_chars / 4.0) AS INTEGER) AS bpe_tokens,
                    round(CASE WHEN len(toks_l) > 0
@@ -1555,19 +1756,103 @@ def oracle_sql() -> dict[str, str]:
                    fp
             FROM t
         """,
-        "text_lang_id": f"""
-            WITH t AS (
-              SELECT CASE
-                WHEN length(text) > 0 AND
-                     length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0 / length(text) < 0.8
-                THEN 'other'
-                WHEN len({_TOKS_L}) > 0 AND
-                     len(list_filter({_TOKS_L}, x -> x IN {_STOP_IN})) * 1.0 /
-                     len({_TOKS_L}) >= 0.08
-                THEN 'en'
-                ELSE 'unk' END AS pred_lang
+        "transcript_documents": """
+            WITH turns AS (
+              SELECT doc_id // 4 AS conv_id,
+                     doc_id % 4 AS turn_idx,
+                     CASE WHEN doc_id % 4 = 0 THEN 'system'
+                          WHEN doc_id % 4 = 1 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     substr(text, 1, 120) AS t,
+                     CASE WHEN doc_id % 4 = 3 THEN 'search' END AS tool
               FROM documents)
-            SELECT pred_lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1
+            SELECT CAST(conv_id AS BIGINT) AS conv_id,
+                   string_agg(
+                     CASE WHEN tool IS NOT NULL
+                          THEN role || '(' || tool || ')'
+                          ELSE role END || ': ' || coalesce(t, ''),
+                     chr(10) ORDER BY turn_idx) AS text,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_assistant_turns,
+                   CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tool_turns
+            FROM turns GROUP BY conv_id
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks,
+                     CAST(coalesce(len({_TOKS}), 0) AS BIGINT) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks, n,
+                     CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS g
+              FROM t),
+            pieces AS (
+              SELECT c.doc_id, s.s AS seq_idx,
+                     greatest(g, s.s * 64) AS pos,
+                     least(g + n, (s.s + 1) * 64) - greatest(g, s.s * 64) AS pn,
+                     greatest(g, s.s * 64) - g AS doff,
+                     toks[greatest(g, s.s * 64) - g + 1 :
+                          least(g + n, (s.s + 1) * 64) - g] AS piece
+              FROM c, UNNEST(generate_series(g // 64, (g + n - 1) // 64)) AS s(s)
+              WHERE n > 0)
+            SELECT 'placement' AS leg, doc_id,
+                   g // 64 AS seq_idx, g % 64 AS seq_offset, n AS n_tokens,
+                   g AS aux_off,
+                   CASE WHEN n > 0 THEN (g + n - 1) // 64 - g // 64 + 1
+                        ELSE 0 END AS aux_n,
+                   '' AS seq_md5
+            FROM c
+            UNION ALL
+            SELECT 'manifest', doc_id, seq_idx, pos % 64, pn, doff,
+                   CAST(-1 AS BIGINT), ''
+            FROM pieces
+            UNION ALL
+            SELECT 'seq', CAST(-1 AS BIGINT), seq_idx, CAST(-1 AS BIGINT),
+                   CAST(sum(pn) AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(-1 AS BIGINT),
+                   md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY pos))
+            FROM pieces GROUP BY seq_idx HAVING CAST(sum(pn) AS BIGINT) = 64
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks,
+                     CAST(coalesce(len({_TOKS}), 0) AS BIGINT) AS n
+              FROM documents WHERE text IS NOT NULL),
+            c AS (
+              SELECT doc_id, toks, n,
+                     CASE WHEN n <= 32 THEN 1
+                          ELSE CAST(ceil((n - 32) * 1.0 / 24) AS BIGINT) + 1
+                          END AS nc
+              FROM t WHERE n > 0)
+            SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[s.i * 24 + 1 : least(s.i * 24 + 32, n)],
+                                   ' ') AS chunk_text,
+                   CAST(least(s.i * 24 + 32, n) - s.i * 24 AS BIGINT)
+                     AS n_chunk_tokens
+            FROM c, UNNEST(generate_series(0, nc - 1)) AS s(i)
+        """,
+        "training_mix": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS source,
+                     CAST(coalesce(len({_TOKS}), 0) AS BIGINT) AS n
+              FROM documents),
+            m AS (
+              SELECT source, e.e AS epoch, n
+              FROM t, UNNEST(generate_series(0,
+                     CASE WHEN source = 'even' THEN 1 ELSE 2 END)) AS e(e)),
+            per AS (
+              SELECT source, CAST(epoch AS BIGINT) AS epoch,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS n_tokens
+              FROM m GROUP BY 1, 2)
+            SELECT source, epoch, n_docs, n_tokens,
+                   round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+            FROM per
         """,
         "decontaminate": r"""
             WITH toks AS (

@@ -80,6 +80,12 @@ def mix_corpora(
     out = None
     for k, df in prepped.items():
         p = mixture * norm[k] / masses[k]
+        # weights/targets arrive as floats: a p that is an integer by
+        # construction (e.g. target = 2*T_a + 3*T_b with proportional
+        # weights) can land at 1.9999999999999998, which would flip a
+        # whole epoch into near-total hash sampling — snap within 1e-9
+        if abs(p - round(p)) < 1e-9:
+            p = float(round(p))
         whole, frac = int(p), p - int(p)
         h = F.abs(F.xxhash64(F.lit(k), F.col(id_col), F.lit(seed)))
         picked = (

@@ -1185,3 +1185,37 @@ def test_mix_corpora_weights_and_epochs(spark):
                    {"web": big, "books": small},
                    {"web": 0.5, "books": 0.5}, seed=8).collect())
     assert a != c
+
+
+def test_mix_corpora_snaps_integer_epoch_ratios(spark):
+    """An epoch ratio that is an integer BY CONSTRUCTION (target =
+    2*T_a + 3*T_b with proportional float weights) must give exactly
+    2 and 3 epochs per doc — float rounding in the weight arithmetic
+    (p = 1.9999999999999998) must not flip an epoch into near-total
+    hash sampling. Pins the 1e-9 snap in mix_corpora."""
+    from polardbx_tools_spark.operators import mixing
+
+    a = spark.range(37).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 7), i -> concat('a', id, '_', i))) AS text",
+    )  # 259 tokens
+    b = spark.range(11).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 13), i -> concat('b', id, '_', i))) AS text",
+    )  # 143 tokens
+    ta, tb = 259, 143
+    target = 2 * ta + 3 * tb
+    mixed = mixing.mix_corpora(
+        {"a": a, "b": b},
+        {"a": 2 * ta / target, "b": 3 * tb / target},
+        target_tokens=target,
+    )
+    per = {
+        (r["source"], r["epoch"]): r["n"]
+        for r in mixed.groupBy("source", "epoch").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert per == {
+        ("a", 0): 37, ("a", 1): 37,
+        ("b", 0): 11, ("b", 1): 11, ("b", 2): 11,
+    }
