@@ -969,7 +969,16 @@ def _q_pack_sequences(spark, sf):
     d = _t(spark, sf, "documents")
     B = _PACK_BUDGET
     neg1 = F.lit(-1).cast("long")
-    placement = packing.pack_sequences(d, B).select(
+    # ONE prefix-sum pass shared by all three legs: the placement is
+    # persisted (narrow, 6 cols/doc), the piece relation derived from it
+    # is persisted, and manifest/seq legs re-select from it — the same
+    # reuse a production packing job gets via the pieces=/placement=
+    # kwargs instead of paying three full passes
+    placed = packing.pack_sequences(d, B).persist()
+    pieces = packing._sequence_pieces(
+        d, B, "text", "doc_id", None, None, placement=placed
+    ).persist()
+    placement = placed.select(
         F.lit("placement").alias("leg"),
         "doc_id",
         "seq_idx",
@@ -979,7 +988,7 @@ def _q_pack_sequences(spark, sf):
         F.col("n_seqs").alias("aux_n"),
         F.lit("").alias("seq_md5"),
     )
-    manifest = packing.sequence_manifest(d, B).select(
+    manifest = packing.sequence_manifest(d, B, pieces=pieces).select(
         F.lit("manifest").alias("leg"),
         "doc_id",
         "seq_idx",
@@ -989,7 +998,7 @@ def _q_pack_sequences(spark, sf):
         neg1.alias("aux_n"),
         F.lit("").alias("seq_md5"),
     )
-    seqs = packing.materialize_sequences(d, B).select(
+    seqs = packing.materialize_sequences(d, B, pieces=pieces).select(
         F.lit("seq").alias("leg"),
         neg1.alias("doc_id"),
         "seq_idx",

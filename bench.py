@@ -284,6 +284,12 @@ def run_query_suite(cpus: int) -> dict[str, float]:
         _warm_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64)
         _dd.minhash_lsh_pairs(_warm_docs).count()
         _dd.jaccard_pairs(_warm_docs).count()
+        # Arrow python-worker pool + range-partitioner warm: the packing
+        # prefix sum is the only mapInPandas in the suite and its first
+        # run otherwise pays ~8 s of worker fork/Arrow init
+        from polardbx_tools_spark.operators import packing as _pk
+
+        _pk.pack_sequences(_warm_docs, 64).count()
         spark.catalog.clearCache()
         for name, fn in entrymod.queries().items():
             t0 = time.time()

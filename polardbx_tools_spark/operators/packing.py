@@ -157,15 +157,22 @@ def _sequence_pieces(
     id_col: str,
     order_col: str | None,
     num_partitions: int | None,
+    placement: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (doc × spanned sequence): the token slice of the doc
     that falls inside that sequence, with its absolute position. Shared
     by :func:`materialize_sequences` (groups pieces into texts) and
-    :func:`sequence_manifest` (ships them to the data loader)."""
-    placement = pack_sequences(
-        docs, budget, text_col=text_col, id_col=id_col,
-        order_col=order_col, num_partitions=num_partitions,
-    )
+    :func:`sequence_manifest` (ships them to the data loader).
+
+    ``placement`` reuses an existing (ideally persisted)
+    :func:`pack_sequences` output instead of recomputing the prefix
+    sum — the composition a production job uses when it needs the
+    placement AND the derived relations."""
+    if placement is None:
+        placement = pack_sequences(
+            docs, budget, text_col=text_col, id_col=id_col,
+            order_col=order_col, num_partitions=num_partitions,
+        )
     from polardbx_tools_spark.operators.text import tokens
 
     joined = docs.select(id_col, text_col).join(placement, on=id_col)
@@ -220,6 +227,7 @@ def sequence_manifest(
     id_col: str = "doc_id",
     order_col: str | None = None,
     num_partitions: int | None = None,
+    pieces: DataFrame | None = None,
 ) -> DataFrame:
     """Loader-side sidecar for the packed sequences: one row per
     (sequence, document piece) —
@@ -228,10 +236,16 @@ def sequence_manifest(
     ``[seq_offset, seq_offset + n_tokens)`` of sequence ``seq_idx``
     (taken from the doc's own tokens starting at ``doc_offset``).
     This is what attention-mask resets and per-doc loss masks are built
-    from; no text is shipped, so the manifest stays narrow."""
-    return _sequence_pieces(
-        docs, budget, text_col, id_col, order_col, num_partitions
-    ).select(
+    from; no text is shipped, so the manifest stays narrow.
+
+    ``pieces`` reuses a persisted :func:`_sequence_pieces` relation
+    (built with the same budget) shared with
+    :func:`materialize_sequences`, skipping a second prefix-sum pass."""
+    if pieces is None:
+        pieces = _sequence_pieces(
+            docs, budget, text_col, id_col, order_col, num_partitions
+        )
+    return pieces.select(
         "seq_idx",
         F.col(id_col),
         (F.col("_pos") % budget).cast("long").alias("seq_offset"),
@@ -248,6 +262,7 @@ def materialize_sequences(
     order_col: str | None = None,
     num_partitions: int | None = None,
     keep_ragged_tail: bool = False,
+    pieces: DataFrame | None = None,
 ) -> DataFrame:
     """Physically build the packed training sequences from
     :func:`pack_sequences` placement: returns
@@ -261,10 +276,13 @@ def materialize_sequences(
     with its in-sequence position, then ONE shuffle on ``seq_idx``
     groups and orders each sequence's pieces. Assembly is
     ``concat_ws(sort_array(...))`` — builtin aggregation, no UDF.
+    ``pieces`` reuses a persisted :func:`_sequence_pieces` relation
+    (same budget) shared with :func:`sequence_manifest`.
     """
-    pieces = _sequence_pieces(
-        docs, budget, text_col, id_col, order_col, num_partitions
-    )
+    if pieces is None:
+        pieces = _sequence_pieces(
+            docs, budget, text_col, id_col, order_col, num_partitions
+        )
     out = (
         pieces.groupBy("seq_idx")
         .agg(
