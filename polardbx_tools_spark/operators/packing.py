@@ -228,6 +228,7 @@ def sequence_manifest(
     order_col: str | None = None,
     num_partitions: int | None = None,
     pieces: DataFrame | None = None,
+    placement: DataFrame | None = None,
 ) -> DataFrame:
     """Loader-side sidecar for the packed sequences: one row per
     (sequence, document piece) —
@@ -240,10 +241,13 @@ def sequence_manifest(
 
     ``pieces`` reuses a persisted :func:`_sequence_pieces` relation
     (built with the same budget) shared with
-    :func:`materialize_sequences`, skipping a second prefix-sum pass."""
+    :func:`materialize_sequences`; ``placement`` reuses an existing
+    :func:`pack_sequences` output (e.g. read back from its parquet) —
+    either skips re-running the prefix sum."""
     if pieces is None:
         pieces = _sequence_pieces(
-            docs, budget, text_col, id_col, order_col, num_partitions
+            docs, budget, text_col, id_col, order_col, num_partitions,
+            placement=placement,
         )
     return pieces.select(
         "seq_idx",
@@ -263,6 +267,7 @@ def materialize_sequences(
     num_partitions: int | None = None,
     keep_ragged_tail: bool = False,
     pieces: DataFrame | None = None,
+    placement: DataFrame | None = None,
 ) -> DataFrame:
     """Physically build the packed training sequences from
     :func:`pack_sequences` placement: returns
@@ -277,11 +282,13 @@ def materialize_sequences(
     groups and orders each sequence's pieces. Assembly is
     ``concat_ws(sort_array(...))`` — builtin aggregation, no UDF.
     ``pieces`` reuses a persisted :func:`_sequence_pieces` relation
-    (same budget) shared with :func:`sequence_manifest`.
+    (same budget) shared with :func:`sequence_manifest`; ``placement``
+    reuses an existing :func:`pack_sequences` output.
     """
     if pieces is None:
         pieces = _sequence_pieces(
-            docs, budget, text_col, id_col, order_col, num_partitions
+            docs, budget, text_col, id_col, order_col, num_partitions,
+            placement=placement,
         )
     out = (
         pieces.groupBy("seq_idx")

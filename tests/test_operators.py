@@ -1135,6 +1135,32 @@ def test_sequence_manifest_tiles_and_masks(spark):
         assert a == b
 
 
+def test_packing_derivations_reuse_placement(spark, tmp_path):
+    """manifest/sequences derived from a REUSED placement (the parquet
+    a job just wrote, via placement=) are identical to recomputing the
+    prefix sum from scratch — the run_packing CLI relies on this to pay
+    ONE pass for all three outputs."""
+    from polardbx_tools_spark.operators import packing
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(60)
+    budget = 90
+    pq = str(tmp_path / "placement")
+    packing.pack_sequences(d, budget).write.parquet(pq)
+    on_disk = spark.read.parquet(pq)
+
+    fresh_m = sorted(map(tuple, packing.sequence_manifest(d, budget).collect()))
+    reused_m = sorted(map(tuple, packing.sequence_manifest(
+        d, budget, placement=on_disk).collect()))
+    assert fresh_m == reused_m
+
+    fresh_s = sorted(map(tuple, packing.materialize_sequences(
+        d, budget, keep_ragged_tail=True).collect()))
+    reused_s = sorted(map(tuple, packing.materialize_sequences(
+        d, budget, keep_ragged_tail=True, placement=on_disk).collect()))
+    assert fresh_s == reused_s
+
+
 def test_mix_corpora_weights_and_epochs(spark):
     """Weighted mixture: achieved token shares track the requested
     weights; a small high-weight source oversamples with epoch counts;

@@ -74,16 +74,20 @@ def main() -> None:
         order_col=args.order_col, num_partitions=args.partitions,
     )
     placed.write.mode("overwrite").parquet(args.placement)
+    # the derived relations reuse the placement parquet just written —
+    # the prefix sum runs ONCE however many outputs are requested
+    on_disk = spark.read.parquet(args.placement)
     if args.sequences:
         materialize_sequences(
             docs, args.budget, text_col=args.text_col, id_col=args.id_col,
             order_col=args.order_col, num_partitions=args.partitions,
-            keep_ragged_tail=args.keep_ragged_tail,
+            keep_ragged_tail=args.keep_ragged_tail, placement=on_disk,
         ).write.mode("overwrite").parquet(args.sequences)
     if args.manifest:
         sequence_manifest(
             docs, args.budget, text_col=args.text_col, id_col=args.id_col,
             order_col=args.order_col, num_partitions=args.partitions,
+            placement=on_disk,
         ).write.mode("overwrite").parquet(args.manifest)
     stats = packing_stats(
         spark.read.parquet(args.placement), args.budget
