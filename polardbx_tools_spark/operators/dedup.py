@@ -112,11 +112,19 @@ def _vocab_probe_df(
     reducer sees per-partition distinct sets, not the token multiset."""
     cores = base.sparkSession.sparkContext.defaultParallelism
     sample = base.limit(probe_rows + 1).repartition(cores).select(
-        F.monotonically_increasing_id().alias("_r"),
-        tokenizer(F.col("_t")).alias("ws"),
+        tokenizer(F.col("_t")).alias("ws")
     )
-    return sample.select("_r", F.explode_outer("ws").alias("tok")).agg(
-        F.countDistinct("_r").alias("n_docs"),
+    # n_docs rides the SAME aggregate as the vocab with no Expand
+    # double-scan (countDistinct(row_id) + collect_set used to rewrite
+    # to a two-path Expand): each doc contributes exactly one row with
+    # pos IN (0, NULL) — its first token, or the explode_outer NULL of
+    # an empty set — so a plain conditional sum counts docs
+    return sample.select(
+        F.posexplode_outer("ws").alias("pos", "tok")
+    ).agg(
+        F.sum(
+            ((F.col("pos") == 0) | F.col("pos").isNull()).cast("long")
+        ).alias("n_docs"),
         F.slice(
             F.sort_array(F.collect_set("tok")), 1, max_vocab + 1
         ).alias("toks"),
