@@ -775,6 +775,7 @@ def _q_text_metrics(spark, sf):
         text.lang_id(F.col("text")).alias("pred_lang"),
         text.token_count(F.col("text")).alias("n_tokens"),
         text.bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
+        text.bpe_regex_token_count(F.col("text")).alias("bpe_regex_tokens"),
         F.round(text.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
         F.round(text.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(text.mean_word_len(F.col("text")), 6).alias("mean_wlen"),
@@ -1340,6 +1341,9 @@ _NORM = (
     "'\\s+', ' ', 'g'))"
 )
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+# the GPT-2-ish pre-tokenizer pattern, SQL-quoted (Java regex ∩ RE2 —
+# DuckDB's RE2 and Spark's Java regex match it identically)
+_BPE_SQL = text._BPE_SPLIT.replace("'", "''")
 _TOKS_L = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
 _WSET = f"list_distinct({_TOKS_L})"
 
@@ -1713,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
                      length(text) AS n_chars,
                      length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS n_ascii,
                      length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+                     len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_re,
                      list_filter(list_transform(string_split(text, chr(10)),
                                  x -> trim(x)), x -> x <> '') AS lines,
                      CASE WHEN len({_TOKS_L}) >= 2
@@ -1732,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unk' END AS pred_lang,
                    CAST(len(toks) AS INTEGER) AS n_tokens,
                    CAST(ceil(n_chars / 4.0) AS INTEGER) AS bpe_tokens,
+                   CAST(n_bpe_re AS INTEGER) AS bpe_regex_tokens,
                    round(CASE WHEN len(toks_l) > 0
                          THEN len(list_filter(toks_l, x -> x IN {_STOP_IN})) * 1.0 / len(toks_l)
                          ELSE 0.0 END, 6) AS stop_ratio,

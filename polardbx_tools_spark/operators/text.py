@@ -37,6 +37,28 @@ def bpe_token_estimate(col: Column) -> Column:
     return F.ceil(F.length(col) / F.lit(4.0)).cast("int")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩ RE2
+# subset (no lookahead, so the trailing-whitespace clauses are dropped
+# and pure-whitespace runs simply don't count): contractions, a
+# letter run, a digit run, or a punctuation run — each optionally
+# preceded by one space. Alternation order matters and is identical on
+# both engines (leftmost-first).
+_BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_regex_tokens(col: Column) -> Column:
+    """GPT-2-style regex PRE-tokens (the splitter BPE merges run
+    inside): contractions split off, letter/digit/punctuation runs
+    separated. An upper bound on true BPE tokens that, unlike
+    ``bpe_token_estimate``, responds to punctuation density and word
+    boundaries; one vectorized regexp per row, no UDF."""
+    return F.regexp_extract_all(col, F.lit(_BPE_SPLIT), 0)
+
+
+def bpe_regex_token_count(col: Column) -> Column:
+    return F.size(bpe_regex_tokens(col)).cast("int")
+
+
 def stopword_ratio(col: Column) -> Column:
     toks = tokens(F.lower(col))
     stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))

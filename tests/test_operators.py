@@ -754,6 +754,38 @@ def test_ivfpq_index_prunes_cells_and_matches_reference(spark, tmp_path):
     assert got == want
 
 
+def test_bpe_regex_tokens_planted(spark):
+    """GPT-2-style regex pre-tokenizer: contractions split off,
+    letter/digit/punctuation runs separate, optional leading space
+    attaches, pure whitespace never counts (portable pattern — no
+    lookahead — so trailing-space clauses are intentionally absent)."""
+    from polardbx_tools_spark.operators import text
+
+    cases = {
+        "Hello, world!": ["Hello", ",", " world", "!"],
+        "It's 3.14": ["It", "'s", " 3", ".", "14"],
+        "can't we've": ["can", "'t", " we", "'ve"],
+        "": [],
+        "   ": [],
+        "a1b2": ["a", "1", "b", "2"],
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select(
+            "i", text.bpe_regex_tokens(F.col("t")).alias("toks")
+        ).collect()
+    }
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == want, (src, got[i], want)
+    n = df.select(
+        F.sum(text.bpe_regex_token_count(F.col("t"))).alias("n")
+    ).collect()[0]["n"]
+    assert n == sum(len(v) for v in cases.values())
+
+
 def test_intra_doc_repetition_metrics(spark):
     """Gopher-style repetition signals on planted documents: duplicate
     line fraction, duplicate 2-gram fraction, and top-2-gram fraction
