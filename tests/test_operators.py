@@ -957,6 +957,36 @@ def test_pack_sequences_plan_is_distributed_prefix_sum(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_mix_and_transcripts_plan_shapes(spark):
+    """mix_corpora moves NO corpus rows (membership is a per-row hash
+    predicate, repetition an explode — the only jobs are the bounded
+    per-source mass aggregates); transcripts_to_documents moves the
+    corpus exactly once (the conv_id groupBy), rendering inside builtin
+    aggregation — no UDF, no Window."""
+    from polardbx_tools_spark.operators import mixing, transcripts
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    mixed = mixing.mix_corpora({"a": a, "b": b}, {"a": 0.5, "b": 0.5})
+    p = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p and "MapInPandas" not in p, p
+
+    frame = d.selectExpr(
+        "CAST(doc_id / 4 AS LONG) AS conv_id",
+        "doc_id % 4 AS turn_idx",
+        "'user' AS role",
+        "text",
+        "CAST(NULL AS STRING) AS tool",
+    )
+    rendered = transcripts.transcripts_to_documents(frame)
+    p2 = rendered._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("Exchange") == 1, p2
+    assert "Window" not in p2 and "EvalPython" not in p2, p2
+
+
 def test_c4_clean_planted_rules(spark):
     """Planted docs exercising every C4 rule: line filter (terminal
     punctuation, >=3 words, javascript boilerplate), page filter (curly
