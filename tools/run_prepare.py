@@ -1,0 +1,142 @@
+"""Production job entry for batch document preparation
+(`spark-submit --py-files`) — the BATCH complement of the streaming
+curation gate: structural C4 cleaning, Gopher-style repetition filters,
+language/quality gates, PII redaction, and optional benchmark
+decontamination in ONE pass over the corpus, before dedup/mixing/
+packing:
+
+    spark-submit --master <cluster> \
+        --py-files dist/polardbx_tools_spark.zip tools/run_prepare.py \
+        --input <docs-parquet> --accepted <dir> --rejected <dir> \
+        [--c4] [--min-sentences 5] \
+        [--max-dup-line-frac 0.3] [--max-top-2gram-frac 0.18] \
+        [--lang en] [--min-quality 0.5] \
+        [--redact-pii email,phone,ssn,ipv4] \
+        [--benchmark <eval-parquet>] [--ngram 13] \
+        [--id-col doc_id] [--text-col text]
+
+Every gate is a pure projection (C4 / repetition / quality / lang /
+PII), so the corpus is scanned once; decontamination adds only the
+broadcast eval-gram join (the corpus side never shuffles its text).
+Rejected rows carry the FIRST failing gate in ``reason``
+(``c4`` → ``repetition`` → ``lang`` → ``quality`` → ``contaminated``);
+accepted rows carry the (optionally cleaned + PII-redacted) text with
+token count, quality, and lang columns, ready for run_mixing /
+run_packing. A one-line JSON summary (accepted + per-reason rejects)
+prints on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--accepted", required=True)
+    ap.add_argument("--rejected", required=True)
+    ap.add_argument("--c4", action="store_true",
+                    help="apply C4 line cleaning + page keep rules")
+    ap.add_argument("--min-sentences", type=int, default=5)
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.3,
+                    help="Gopher-style duplicate-line fraction cap")
+    ap.add_argument("--max-top-2gram-frac", type=float, default=0.18,
+                    help="Gopher-style top-2-gram fraction cap")
+    ap.add_argument("--lang", default=None,
+                    help="keep only this lang_id prediction (e.g. en)")
+    ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--redact-pii", default=None,
+                    metavar="KINDS", help="comma list: email,phone,ssn,ipv4")
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set parquet; overlapping docs are rejected")
+    ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from polardbx_tools_spark.operators import masking, text
+
+    spark = SparkSession.builder.getOrCreate()  # master/conf: spark-submit
+    docs = spark.read.parquet(args.input)
+    idc, txc = args.id_col, args.text_col
+
+    cur = F.col(txc)
+    fails: list[tuple[str, "F.Column"]] = []
+    if args.c4:
+        cur = text.c4_clean_lines(cur)
+        fails.append(
+            ("c4", text.c4_document_keep(cur, args.min_sentences) == 0)
+        )
+    fails.append((
+        "repetition",
+        (text.dup_line_fraction(cur) > args.max_dup_line_frac)
+        | (text.top_ngram_fraction(cur, 2) > args.max_top_2gram_frac),
+    ))
+    if args.lang:
+        fails.append(("lang", text.lang_id(cur) != args.lang))
+    if args.min_quality is not None:
+        fails.append(
+            ("quality", text.quality_score(cur) < args.min_quality)
+        )
+
+    scored = docs.select(
+        F.col(idc),
+        cur.alias("_text"),
+        text.lang_id(cur).alias("lang"),
+        F.round(text.quality_score(cur), 2).alias("quality"),
+        *[cond.alias(f"_f_{name}") for name, cond in fails],
+    )
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        flags = text.decontaminate(
+            docs, bench, n=args.ngram, text_col=txc, id_col=idc
+        ).select(idc, "contaminated")
+        scored = scored.join(flags, on=idc, how="left")
+        fails.append(
+            ("contaminated", F.coalesce(F.col("contaminated"), F.lit(0)) == 1)
+        )
+
+    reason = F.lit(None).cast("string")
+    for name, _ in reversed(fails):
+        col = F.col("contaminated") == 1 if name == "contaminated" \
+            else F.col(f"_f_{name}")
+        reason = F.when(F.coalesce(col.cast("int"), F.lit(0)) == 1,
+                        F.lit(name)).otherwise(reason)
+    scored = scored.withColumn("reason", reason).persist()
+
+    out_text = F.col("_text")
+    if args.redact_pii:
+        kinds = tuple(k for k in args.redact_pii.split(",") if k)
+        out_text = masking.pii_redact(out_text, kinds)
+    scored.filter(F.col("reason").isNull()).select(
+        F.col(idc),
+        out_text.alias(txc),
+        text.token_count(out_text).cast("long").alias("n_tokens"),
+        "quality",
+        "lang",
+    ).write.mode("overwrite").parquet(args.accepted)
+    scored.filter(F.col("reason").isNotNull()).select(
+        F.col(idc), F.col("reason")
+    ).write.mode("overwrite").parquet(args.rejected)
+
+    stats = {
+        r["reason"] or "accepted": r["n"]
+        for r in scored.groupBy("reason")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    scored.unpersist()
+    print(json.dumps({"accepted": stats.pop("accepted", 0),
+                      "rejected": stats}, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
