@@ -1150,6 +1150,50 @@ def test_transcripts_to_documents_rendering(spark):
         sum(len(x["text"].split()) for x in docs.collect())
 
 
+def test_lake_to_corpus_bridge_end_to_end(spark, tmp_table_path):
+    """The tier's defining loop: a changelog (I/U/D, duplicates,
+    out-of-order) is CDC-applied into the lake, the final turn state is
+    rendered to one training document per conversation, and the
+    rendered text byte-matches a python re-render of the same final
+    state — then the documents flow into packing placement (exact token
+    cover)."""
+    from polardbx_tools_spark.changelog.generator import (
+        ChangelogSpec, generate_changelog,
+    )
+    from polardbx_tools_spark.operators import packing, transcripts
+    from polardbx_tools_spark.pipeline import CdcPipeline
+
+    cl = generate_changelog(
+        spark, ChangelogSpec(n_events=1200, n_convs=50, seed=91)
+    )
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4)
+    pipe.run(cl, batch_lsns=400, with_tool=True)
+    state = pipe.read_transcripts()
+
+    docs = transcripts.transcripts_to_documents(state)
+    got = {r["conv_id"]: r["text"] for r in docs.collect()}
+
+    # python re-render of the identical final state
+    rows = state.select("conv_id", "turn_idx", "role", "text", "tool") \
+        .collect()
+    want: dict = {}
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        head = f"{r['role']}({r['tool']})" if r["tool"] is not None \
+            else (r["role"] or "unknown")
+        want.setdefault(r["conv_id"], []).append(
+            f"{head}: {r['text'] if r['text'] is not None else ''}"
+        )
+    assert got == {c: "\n".join(v) for c, v in want.items()}
+
+    # the rendered corpus packs with an exact token cover
+    placed = packing.pack_sequences(
+        docs.withColumnRenamed("conv_id", "doc_id"), 64
+    )
+    assert placed.agg(F.sum("n_tokens")).collect()[0][0] == sum(
+        len(t.split()) for t in got.values()
+    )
+
+
 def test_sequence_manifest_tiles_and_masks(spark):
     """The loader sidecar: each sequence's manifest rows tile
     [0, budget) exactly; each doc's pieces tile [0, n_doc_tokens); and
