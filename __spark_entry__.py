@@ -1032,11 +1032,13 @@ def _q_training_mix(spark, sf):
     d = _t(spark, sf, "documents")
     even = d.filter(F.col("doc_id") % 2 == 0)
     odd = d.filter(F.col("doc_id") % 2 == 1)
+    # both source masses from ONE corpus pass (mix_corpora re-derives
+    # its own — this collect only shapes the exact-integer-epoch target)
     masses = {
-        k: df.select(
-            F.sum(text.token_count(F.col("text")).cast("long"))
-        ).collect()[0][0]
-        for k, df in (("even", even), ("odd", odd))
+        ("even" if r["k"] == 0 else "odd"): r["t"]
+        for r in d.groupBy((F.col("doc_id") % 2).alias("k"))
+        .agg(F.sum(text.token_count(F.col("text")).cast("long")).alias("t"))
+        .collect()
     }
     target = 2 * masses["even"] + 3 * masses["odd"]
     mixed = mixing.mix_corpora(
