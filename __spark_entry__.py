@@ -406,11 +406,14 @@ def _q_topk_orders(spark, sf):
     )
 
 
-def _q_semi_anti_join(spark, sf):
-    """Left-semi (EXISTS, q4-shape) and left-anti (NOT EXISTS) join
-    planning in one labelled-union entry: orders with >=1 returned
-    lineitem per priority; customers with no order above a price
-    threshold per segment."""
+def _q_join_suite(spark, sf):
+    """Left-semi (EXISTS, q4-shape), left-anti (NOT EXISTS), and
+    left-outer (q13-shape count distribution) join planning in ONE
+    labelled-union entry (50-cap consolidation — the former
+    outer_join_order_counts rides as the 'outer' leg): orders with >=1
+    returned lineitem per priority; customers with no order above a
+    price threshold per segment; customers-per-order-count including
+    zero."""
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     c = _t(spark, sf, "customer")
@@ -428,22 +431,21 @@ def _q_semi_anti_join(spark, sf):
         .agg(F.count("*").cast("long").alias("n"))
         .select(F.lit("anti").alias("join_kind"), F.col("c_mktsegment").alias("grp"), "n")
     )
-    return semi.unionByName(anti)
-
-
-def _q_outer_join_order_counts(spark, sf):
-    """Left-outer + count distribution (q13-shape): how many customers
-    have k orders, including zero."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
     per_cust = (
         c.join(o, c.c_custkey == o.o_custkey, "left_outer")
         .groupBy("c_custkey")
         .agg(F.count(F.col("o_orderkey")).cast("long").alias("n_orders"))
     )
-    return per_cust.groupBy("n_orders").agg(
-        F.count("*").cast("long").alias("n_customers")
+    outer = (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.lit("outer").alias("join_kind"),
+            F.col("n_orders").cast("string").alias("grp"),
+            "n",
+        )
     )
+    return semi.unionByName(anti).unionByName(outer)
 
 
 def _q_cdc_lake_roundtrip(spark, sf):
@@ -1270,6 +1272,15 @@ def _q_embedding_near_dup_pairs(spark, sf):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cos_r"))
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic deduplication (arXiv:2303.09540): seeded
+    spherical-k-means cells, then keep-lowest-id within each cell at
+    cosine >= 0.4. Oracle: the SAME deterministic fit replayed as
+    literal centroids, cell assignment + covering join in SQL."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.semantic_dedup(e, dim=64, tau=0.4, n_clusters=16)
+
+
 # ----------------------------------------------------------------- tables
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1302,8 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_export": _q_ordered_export,
         "schema_map": _q_schema_map,
         "tpch_q1": _q_tpch_q1,
-        "semi_anti_join": _q_semi_anti_join,
-        "outer_join_order_counts": _q_outer_join_order_counts,
+        "join_suite": _q_join_suite,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "rollup_revenue": _q_rollup_revenue,
         "distinct_aggregates": _q_distinct_aggregates,
@@ -1330,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -1623,7 +1634,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'east' END AS area
             FROM nation JOIN region ON n_regionkey = r_regionkey
         """,
-        "semi_anti_join": """
+        "join_suite": """
             SELECT 'semi' AS join_kind, o_orderpriority AS grp,
                    CAST(count(*) AS BIGINT) AS n
             FROM orders
@@ -1637,13 +1648,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey AND o_totalprice > 100000)
             GROUP BY 2
-        """,
-        "outer_join_order_counts": """
-            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            UNION ALL
+            SELECT 'outer' AS join_kind, CAST(n_orders AS VARCHAR) AS grp,
+                   CAST(count(*) AS BIGINT) AS n
             FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
                   FROM customer LEFT JOIN orders ON o_custkey = c_custkey
                   GROUP BY c_custkey)
-            GROUP BY n_orders
+            GROUP BY 2
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
@@ -2054,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "ann_pq_topk": _ann_pq_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
     }
 
 
@@ -2112,6 +2124,61 @@ def _ann_ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
         WHERE rank <= {k}
+    """
+
+
+def _semantic_dedup_oracle_sql(n_clusters: int = 16, tau: float = 0.4,
+                               sample_rows: int = 1024, seed: int = 42,
+                               n_iters: int = 10) -> str:
+    """DuckDB oracle for SemDeDup: re-run the SAME deterministic seeded
+    fixed-iteration spherical k-means fit over the SAME bounded sample
+    and embed the centroids as literals; cell assignment and the
+    lowest-earlier-id covering decision then replay in SQL (cosine in
+    the same fold shape as the near-dup oracle)."""
+    import pandas as _pd
+
+    from polardbx_tools_spark.operators.similarity import fit_spherical_kmeans
+
+    emb = (
+        _pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .head(sample_rows)
+    )
+    cents = fit_spherical_kmeans(
+        [list(v) for v in emb["embedding"]], n_clusters, seed, n_iters
+    )
+    values = ", ".join(
+        "(" + str(i + 1) + ", [" + ", ".join(repr(float(x)) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE embedding IS NOT NULL),
+        cent AS (SELECT * FROM (VALUES {values}) AS t(cid, cvec)),
+        sc AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                 sqrt(list_sum(list_transform(c.cvec,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS s
+          FROM e CROSS JOIN cent c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, cid) AS rn FROM sc),
+        cells AS (SELECT vec_id, embedding, cid AS cell FROM r WHERE rn = 1),
+        dups AS (
+          SELECT a.vec_id, min(b.vec_id) AS dup_of
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id
+           AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {tau}
+          GROUP BY 1)
+        SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell, d.dup_of,
+               CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+        FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+        UNION ALL
+        SELECT vec_id, CAST(NULL AS INTEGER) AS cell,
+               CAST(NULL AS BIGINT) AS dup_of, CAST(1 AS INTEGER) AS kept
+        FROM embeddings WHERE embedding IS NULL
     """
 
 

@@ -345,6 +345,68 @@ def fit_spherical_kmeans(mat, k: int, seed: int = 42, iters: int = 10):
     return cents
 
 
+def _fit_kmeans_cents(
+    corpus: DataFrame,
+    n_centroids: int,
+    sample_rows: int,
+    seed: int,
+    n_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> list:
+    """Fit spherical k-means over the deterministic bounded sample (the
+    ``sample_rows`` lowest ids — a top-k at any scale) and return
+    [(centroid, fold_norm)] — the shared coarse quantizer behind
+    :func:`ivf_topk` and :func:`semantic_dedup`."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    fitted = fit_spherical_kmeans(
+        [list(r[vec_col]) for r in rows], n_centroids, seed, n_iters
+    )
+    return [
+        ([float(x) for x in c], _fold_norm([float(x) for x in c]))
+        for c in fitted
+    ]
+
+
+def _cent_literals(cents) -> tuple[Column, Column]:
+    """Centroid matrix + norms as parsed SQL literals: single Literal
+    nodes, no per-element py4j round-trips (see _planes_expr_sql)."""
+    cmat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+            for cv, _ in cents
+        ) + ")"
+    )
+    cnorms = F.expr(
+        "array(" + ",".join(repr(float(cn)) + "D" for _, cn in cents) + ")"
+    )
+    return cmat, cnorms
+
+
+def _cent_scores_fn(cents):
+    """Per-centroid score projection ``dot(vec, centroid)/|centroid|``
+    — |vec| is common to every cell so it cannot change the argmax.
+    First index on exact ties == lowest centroid id, mirroring the
+    oracle's ORDER BY score DESC, cid ASC."""
+    cmat, cnorms = _cent_literals(cents)
+
+    def cent_scores(vec: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: (
+                dot(vec, F.element_at(cmat, i)) / F.element_at(cnorms, i)
+            ).cast("double"),
+        )
+
+    return cent_scores
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -378,19 +440,9 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     if quantizer == "kmeans":
-        rows = (
-            corpus.select(id_col, vec_col)
-            .orderBy(id_col)
-            .limit(sample_rows)
-            .collect()
+        cents = _fit_kmeans_cents(
+            corpus, n_centroids, sample_rows, seed, n_iters, id_col, vec_col
         )
-        fitted = fit_spherical_kmeans(
-            [list(r[vec_col]) for r in rows], n_centroids, seed, n_iters
-        )
-        cents = [
-            ([float(x) for x in c], _fold_norm([float(x) for x in c]))
-            for c in fitted
-        ]
     elif quantizer == "first":
         cent_rows = sorted(
             corpus.filter(F.col(id_col) < n_centroids)
@@ -401,31 +453,9 @@ def ivf_topk(
         cents = [(list(r[vec_col]), _fold_norm(r[vec_col])) for r in cent_rows]
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
-    # centroid matrix + norms as parsed SQL literals: single Literal
-    # nodes, no per-element py4j round-trips (see _planes_expr_sql)
-    cmat = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
-            for cv, _ in cents
-        ) + ")"
-    )
-    cnorms = F.expr(
-        "array(" + ",".join(repr(float(cn)) + "D" for _, cn in cents) + ")"
-    )
-
-    def cent_scores(vec: Column) -> Column:
-        """dot(vec, centroid)/|centroid| per centroid — |vec| is common
-        to every cell so it cannot change the argmax."""
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(len(cents))),
-            lambda i: (
-                dot(vec, F.element_at(cmat, i)) / F.element_at(cnorms, i)
-            ).cast("double"),
-        )
+    cent_scores = _cent_scores_fn(cents)
 
     # corpus side: cell = 1-based index of the best-scoring centroid
-    # (first index on exact ties == lowest centroid id, mirroring the
-    # oracle's ORDER BY score DESC, cid ASC)
     scores = cent_scores(F.col(vec_col))
     # widen below the cell assignment: n_centroids x dim dots per row
     # is the compute-heavy step; a one-split corpus parquet would
@@ -461,6 +491,122 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    tau: float = 0.4,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 1024,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the seeded
+    spherical k-means coarse quantizer, then WITHIN each cluster drop
+    every document whose cosine to a LOWER-ID cluster member is
+    >= ``tau``. Keep-lowest-id is this engine's deterministic stand-in
+    for the paper's keep-farthest-from-centroid rule — same recall, but
+    replayable decision-for-decision by the literal-centroid SQL oracle
+    (and by an incremental run: a new batch can never evict an already
+    kept document).
+
+    Output: one row per input row — (id, cell, dup_of, kept) where
+    ``dup_of`` is the LOWEST same-cell id that semantically covers this
+    row (NULL when kept=1). Cross-cluster near-dups are out of scope by
+    design (the paper's trade: candidates ∝ cluster size, never corpus
+    — that is what makes the pass linear-ish at 100 TB).
+
+    Physical shape: centroid literals ride the plan (broadcast-small),
+    cell assignment is one codegen'd projection over the streamed
+    corpus, then ONE shuffle keyed by cell and a vectorized Arrow pass
+    per cell group — the exact discipline of
+    :func:`cosine_near_dup_pairs` (row-chunked slabs bound worker
+    memory under cluster skew; f32 products widened and summed in index
+    order keep cosine bit-parity with the SQL fold). NULL embeddings
+    degrade per-row (kept, cell NULL) instead of aborting the pass;
+    zero-norm vectors produce NaN cosines which never clear ``tau``,
+    matching the oracle's NULL-comparison semantics.
+
+    Reference analog: none — engine addition for the LLM-data pipeline
+    (the embedding-space sibling of minhash/simhash text dedup)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_field = {f.name: f for f in df.schema.fields}[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, True),
+        StructField("cell", IntegerType(), True),
+        StructField("dup_of", id_field.dataType, True),
+        StructField("kept", IntegerType(), True),
+    ])
+    cents = _fit_kmeans_cents(
+        df, n_clusters, sample_rows, seed, n_iters, id_col, vec_col
+    )
+    scores = _cent_scores_fn(cents)(F.col("_v"))
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # compute-heavy projection below a possibly one-split scan
+    cells = _widen_scan(src.filter(F.col("_v").isNotNull())).select(
+        "_id", "_v",
+        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
+    )
+    block_elems = _PAIR_BLOCK_ELEMS
+    cols = [id_col, "cell", "dup_of", "kept"]
+
+    def dedup_cell(pdf):
+        n = len(pdf)
+        order = np.argsort(pdf["_id"].to_numpy())
+        ids = pdf["_id"].to_numpy()[order]
+        cell = int(pdf["cell"].iloc[0])
+        if n == 1:
+            return pd.DataFrame({
+                id_col: ids, "cell": [cell], "dup_of": [None], "kept": [1],
+            })
+        v32 = np.stack(pdf["_v"].map(np.asarray).values)[order]
+        d = v32.shape[1]
+        sq64 = (v32 * v32).astype(np.float64)
+        nacc = np.zeros(n, dtype=np.float64)
+        for e in range(d):
+            nacc += sq64[:, e]
+        nrm = np.sqrt(nacc)
+        dup_of: list = [None] * n
+        kept = np.ones(n, dtype=np.int32)
+        # row-chunked slabs (see cosine_near_dup_pairs): block x n
+        block = max(1, block_elems // n)
+        for i0 in range(1, n, block):
+            i1 = min(i0 + block, n)
+            acc = np.zeros((i1 - i0, n), dtype=np.float64)
+            for e in range(d):  # f32 product widened, summed in index order
+                acc += (v32[i0:i1, e, None] * v32[None, :, e]).astype(np.float64)
+            cos = acc / np.outer(nrm[i0:i1], nrm)
+            # only LOWER-id columns can cover a row; NaN >= tau is False
+            earlier = np.arange(n)[None, :] < np.arange(i0, i1)[:, None]
+            hit = earlier & (cos >= tau)
+            rows_any = hit.any(axis=1)
+            for r in np.nonzero(rows_any)[0]:
+                j = int(np.argmax(hit[r]))  # first True == lowest id
+                dup_of[i0 + r] = ids[j]
+                kept[i0 + r] = 0
+        return pd.DataFrame({
+            id_col: ids,
+            "cell": np.full(n, cell, dtype=np.int32),
+            "dup_of": dup_of,
+            "kept": kept,
+        })
+
+    deduped = cells.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+    nulls = src.filter(F.col("_v").isNull()).select(
+        F.col("_id").alias(id_col),
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast(id_field.dataType).alias("dup_of"),
+        F.lit(1).alias("kept"),
+    )
+    return deduped.unionByName(nulls).select(*cols)
 
 
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:

@@ -58,6 +58,49 @@ def test_duplicate_clusters_connected_components(spark):
         assert got == want, dme
 
 
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup keep-lowest-id semantics on planted vectors: exact
+    semantic dups drop with dup_of = the lowest covering id, distinct
+    vectors survive, NULL embeddings degrade per-row (kept, no cell),
+    and a second pass over the kept set is a fixpoint."""
+    import math
+
+    base_a = [1.0] + [0.0] * 7
+    base_b = [0.0, 1.0] + [0.0] * 6
+    rows = [
+        (1, base_a),
+        (2, [0.999] + [0.001] * 7),                 # near-dup of 1
+        (3, base_b),
+        (4, [0.001, 0.999] + [0.001] * 6),          # near-dup of 3
+        (5, [math.cos(5 + j) for j in range(8)]),   # distinct
+        (6, None),                                  # NULL embedding
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(
+        df, dim=8, tau=0.9, n_clusters=2, sample_rows=8
+    )
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 6  # one row per input row, always
+    assert got[1]["kept"] == 1 and got[1]["dup_of"] is None
+    assert got[2]["kept"] == 0 and got[2]["dup_of"] == 1
+    assert got[3]["kept"] == 1 and got[3]["dup_of"] is None
+    assert got[4]["kept"] == 0 and got[4]["dup_of"] == 3
+    assert got[5]["kept"] == 1
+    assert got[6]["kept"] == 1 and got[6]["cell"] is None
+    # same-cell invariant: a drop always points at a lower id in its cell
+    for r in got.values():
+        if r["kept"] == 0:
+            assert r["dup_of"] < r["vec_id"]
+            assert got[r["dup_of"]]["cell"] == r["cell"]
+    # fixpoint: rerunning over the kept docs drops nothing
+    kept_ids = [i for i, r in got.items() if r["kept"] == 1]
+    again = similarity.semantic_dedup(
+        df.filter(F.col("vec_id").isin(kept_ids)), dim=8, tau=0.9,
+        n_clusters=2, sample_rows=8,
+    )
+    assert again.filter("kept = 0").count() == 0
+
+
 def test_simhash_identical_and_distance(docs, spark):
     sh = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
     assert sh[1] == sh[2]              # identical text -> identical simhash
