@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polardbx_tools_spark.operators import (
-    dedup, masking, mixing, packing, similarity, temporal, text, transcripts,
+    bpe, dedup, masking, mixing, packing, similarity, temporal, text,
+    transcripts,
 )
 from polardbx_tools_spark import report as rpt
 
@@ -824,15 +825,20 @@ def _q_window_suite(spark, sf):
 
 
 def _q_report_suite(spark, sf):
-    """A4 latency histogram + A5 run-totals sheet in one labelled union
-    (50-cap consolidation): 'hist' rows are (bucket, count), 'summary'
-    rows are the one-row totals sheet unpivoted to (metric, value)."""
+    """A3 per-template replay report + A4 latency histogram + A5
+    run-totals sheet in ONE labelled union (50-cap consolidation — the
+    former fingerprint_report entry rides as the 'fp' legs): 'hist'
+    rows are (bucket, count), 'summary' rows the totals sheet unpivoted
+    to (metric, value), 'fp' rows the per-fingerprint report unpivoted
+    — numeric metrics travel in ``v`` (s=''), string fields
+    (schemas_touched, error_samples) in ``s`` (v=-1)."""
     ev = _t(spark, sf, "events")
     rt = F.col("value") / 1000.0
     hist = rpt.rt_histogram(ev, rt).select(
         F.lit("hist").alias("leg"),
         F.col("bucket").alias("k"),
         F.col("n").cast("double").alias("v"),
+        F.lit("").alias("s"),
     )
     summ = (
         rpt.summary_report(ev, rt, (F.col("event_type") == "error").cast("int"))
@@ -842,9 +848,38 @@ def _q_report_suite(spark, sf):
             "'success_rate', success_rate, 'avg_rt', avg_rt, "
             "'min_rt', min_rt, 'max_rt', max_rt) AS (k, v)"
         )
-        .select(F.lit("summary").alias("leg"), "k", "v")
+        .select(F.lit("summary").alias("leg"), "k", "v", F.lit("").alias("s"))
     )
-    return hist.unionByName(summ)
+    fpr = _q_fingerprint_report(spark, sf)
+    fp_num = (
+        fpr.selectExpr(
+            "fingerprint",
+            "stack(6, 'requests', CAST(requests AS DOUBLE), "
+            "'errors', CAST(errors AS DOUBLE), "
+            "'success_rate', success_rate, 'min_rt', min_rt, "
+            "'avg_rt', avg_rt, 'max_rt', max_rt) AS (m, v)"
+        )
+        .select(
+            F.lit("fp").alias("leg"),
+            F.concat_ws(":", "fingerprint", "m").alias("k"),
+            "v",
+            F.lit("").alias("s"),
+        )
+    )
+    fp_str = (
+        fpr.selectExpr(
+            "fingerprint",
+            "stack(2, 'schemas', schemas_touched, "
+            "'errsamples', error_samples) AS (m, s)"
+        )
+        .select(
+            F.lit("fp").alias("leg"),
+            F.concat_ws(":", "fingerprint", "m").alias("k"),
+            F.lit(-1.0).alias("v"),
+            "s",
+        )
+    )
+    return hist.unionByName(summ).unionByName(fp_num).unionByName(fp_str)
 
 
 def _q_decontaminate(spark, sf):
@@ -1272,6 +1307,25 @@ def _q_embedding_near_dup_pairs(spark, sf):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cos_r"))
 
 
+def _q_bpe_tokenize(spark, sf):
+    """Exact BPE tokenization under merges FITTED ON THIS CORPUS
+    (distributed word count -> bounded driver merge loop -> Arrow
+    encode; operators/bpe.py). Per doc: token count + an
+    order-sensitive polynomial fold of the token ids, so a single
+    transposed/missing/extra token anywhere flips the row. Oracle:
+    golden parquet from the INDEPENDENT naive reimplementation
+    (tools/make_golden.py bpe_golden — full-recount trainer, no shared
+    code)."""
+    d = _t(spark, sf, "documents")
+    merges = bpe.bpe_train(d, vocab_size=512)
+    enc = bpe.bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("int").alias("n_tokens"),
+        bpe.token_fold_hash(F.col("token_ids")).alias("tok_hash"),
+    )
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup-style semantic deduplication (arXiv:2303.09540): seeded
     spherical-k-means cells, then keep-lowest-id within each cell at
@@ -1303,7 +1357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_suite": _q_window_suite,
         "asof_enrich": _q_asof_enrich,
         "range_join_windows": _q_range_join_windows,
-        "fingerprint_report": _q_fingerprint_report,
         "report_suite": _q_report_suite,
         "projection_filter": _q_projection_filter,
         "masking_suite": _q_masking_suite,
@@ -1341,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "bpe_tokenize": _q_bpe_tokenize,
     }
 
 
@@ -1527,20 +1581,19 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
             GROUP BY 1, 2
         """,
-        "fingerprint_report": """
-            SELECT md5(event_type || '|' || regexp_replace(props, '[0-9]+', '?', 'g')) AS fingerprint,
-                   CAST(count(*) AS BIGINT) AS requests,
-                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-                   round(1.0 - sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS success_rate,
-                   round(min(value/1000.0), 6) AS min_rt,
-                   round(avg(value/1000.0), 6) AS avg_rt,
-                   round(max(value/1000.0), 6) AS max_rt,
-                   array_to_string(list_sort(list(DISTINCT 'db' || CAST(user_id % 4 AS VARCHAR))), ',') AS schemas_touched,
-                   coalesce(array_to_string(list_slice(list_sort(list(DISTINCT props) FILTER (WHERE event_type='error')), 1, 5), ','), '') AS error_samples
-            FROM events GROUP BY 1
-        """,
         "report_suite": """
-            WITH s AS (
+            WITH f AS (
+              SELECT md5(event_type || '|' || regexp_replace(props, '[0-9]+', '?', 'g')) AS fingerprint,
+                     CAST(count(*) AS BIGINT) AS requests,
+                     CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                     round(1.0 - sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS success_rate,
+                     round(min(value/1000.0), 6) AS min_rt,
+                     round(avg(value/1000.0), 6) AS avg_rt,
+                     round(max(value/1000.0), 6) AS max_rt,
+                     array_to_string(list_sort(list(DISTINCT 'db' || CAST(user_id % 4 AS VARCHAR))), ',') AS schemas_touched,
+                     coalesce(array_to_string(list_slice(list_sort(list(DISTINCT props) FILTER (WHERE event_type='error')), 1, 5), ','), '') AS error_samples
+              FROM events GROUP BY 1),
+            s AS (
               SELECT CAST(count(*) AS DOUBLE) AS requests,
                      CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS DOUBLE) AS errors,
                      round(1.0 - sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS success_rate,
@@ -1555,14 +1608,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN value/1000.0 < 1.0 THEN '100ms-1s'
                         WHEN value/1000.0 < 10.0 THEN '1-10s'
                         ELSE '>10s' END AS k,
-                   CAST(count(*) AS DOUBLE) AS v
+                   CAST(count(*) AS DOUBLE) AS v,
+                   '' AS s
             FROM events GROUP BY 2
-            UNION ALL SELECT 'summary', 'requests', requests FROM s
-            UNION ALL SELECT 'summary', 'errors', errors FROM s
-            UNION ALL SELECT 'summary', 'success_rate', success_rate FROM s
-            UNION ALL SELECT 'summary', 'avg_rt', avg_rt FROM s
-            UNION ALL SELECT 'summary', 'min_rt', min_rt FROM s
-            UNION ALL SELECT 'summary', 'max_rt', max_rt FROM s
+            UNION ALL SELECT 'summary', 'requests', requests, '' FROM s
+            UNION ALL SELECT 'summary', 'errors', errors, '' FROM s
+            UNION ALL SELECT 'summary', 'success_rate', success_rate, '' FROM s
+            UNION ALL SELECT 'summary', 'avg_rt', avg_rt, '' FROM s
+            UNION ALL SELECT 'summary', 'min_rt', min_rt, '' FROM s
+            UNION ALL SELECT 'summary', 'max_rt', max_rt, '' FROM s
+            UNION ALL SELECT 'fp', fingerprint || ':requests', CAST(requests AS DOUBLE), '' FROM f
+            UNION ALL SELECT 'fp', fingerprint || ':errors', CAST(errors AS DOUBLE), '' FROM f
+            UNION ALL SELECT 'fp', fingerprint || ':success_rate', success_rate, '' FROM f
+            UNION ALL SELECT 'fp', fingerprint || ':min_rt', min_rt, '' FROM f
+            UNION ALL SELECT 'fp', fingerprint || ':avg_rt', avg_rt, '' FROM f
+            UNION ALL SELECT 'fp', fingerprint || ':max_rt', max_rt, '' FROM f
+            UNION ALL SELECT 'fp', fingerprint || ':schemas', -1.0, schemas_touched FROM f
+            UNION ALL SELECT 'fp', fingerprint || ':errsamples', -1.0, error_samples FROM f
         """,
         "projection_filter": """
             SELECT l_orderkey, l_linenumber,
@@ -2040,6 +2102,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": """
             SELECT id_a, id_b, hamming
             FROM read_parquet('/root/repo/tests/golden/dedup_simhash.sf0.01.parquet')
+        """,
+        "bpe_tokenize": """
+            SELECT doc_id, n_tokens, tok_hash
+            FROM read_parquet('/root/repo/tests/golden/bpe.sf0.01.parquet')
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec

@@ -58,6 +58,43 @@ def test_duplicate_clusters_connected_components(spark):
         assert got == want, dme
 
 
+def test_bpe_train_and_encode(spark):
+    """BPE on a planted corpus: deterministic merges, lossless byte
+    roundtrip through the vocab, batch-encode parity with the pure
+    merge loop, unseen words degrade to finer pieces, and the fold
+    hash is order-sensitive."""
+    from polardbx_tools_spark.operators import bpe
+
+    rows = [(i, "aaab aaab aaab cd cd xyz") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.bpe_train(df, vocab_size=512, min_pair_count=2)
+    assert merges, "planted repeats must produce at least one merge"
+    assert merges == bpe.bpe_train(df, vocab_size=512, min_pair_count=2)
+    # first merge is the most frequent pair: 'aa' (97,97) appears 2x in
+    # each of 12 'aaab'-ish pretokens vs 'cd' 8x
+    assert merges[0] == (97, 97)
+    vocab = bpe.bpe_vocab(merges)
+    # lossless roundtrip: decoding the encoded ids re-yields the bytes
+    ranks = {p: r for r, p in enumerate(merges)}
+    for w in ("aaab", " aaab", "cd", "xyz", "unseen", "zz"):
+        ids = bpe.encode_word(tuple(w.encode()), ranks)
+        assert b"".join(vocab[i] for i in ids) == w.encode()
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode(df, merges).collect()}
+    # Arrow encode == pure-python encode over jvm-split pretokens
+    expect = []
+    for w in ["aaab", " aaab", " aaab", " cd", " cd", " xyz"]:
+        expect.extend(bpe.encode_word(tuple(w.encode()), ranks))
+    assert list(enc[0]["token_ids"]) == expect
+    # trained words compress well below their byte length
+    assert len(enc[0]["token_ids"]) < len(rows[0][1])
+    # fold hash flips when order flips
+    h = df.select(
+        bpe.token_fold_hash(F.array(F.lit(1), F.lit(2))).alias("a"),
+        bpe.token_fold_hash(F.array(F.lit(2), F.lit(1))).alias("b"),
+    ).first()
+    assert h["a"] != h["b"]
+
+
 def test_semantic_dedup_planted_clusters(spark):
     """SemDeDup keep-lowest-id semantics on planted vectors: exact
     semantic dups drop with dup_of = the lowest covering id, distinct

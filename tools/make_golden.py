@@ -193,6 +193,80 @@ def simhash_golden(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+BPE_VOCAB_SIZE = 512
+BPE_MIN_PAIR = 2
+BPE_MAX_WORDS = 65536
+# ASCII stand-in for the operator's Java-regex \p{L}/\p{N} classes —
+# exact only on ASCII corpora, which bpe_golden asserts below.
+_BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+
+
+def bpe_golden(docs: pd.DataFrame) -> pd.DataFrame:
+    """Naive-but-obvious BPE: full pair recount per merge, leftmost
+    min-rank greedy encode — structurally different from the operator's
+    incremental trainer so a shared bug cannot hide."""
+    for t in docs["text"]:
+        assert t.isascii(), "bpe golden requires an ASCII corpus"
+    counts: dict[str, int] = {}
+    for t in docs["text"]:
+        for w in _BPE_RE.findall(t):
+            counts[w] = counts.get(w, 0) + 1
+    table = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_WORDS]
+    syms = [tuple(w.encode("utf-8")) for w, _ in table]
+    freqs = [n for _, n in table]
+    merges: list[tuple[int, int]] = []
+    while 256 + len(merges) < BPE_VOCAB_SIZE:
+        pc: dict[tuple[int, int], int] = {}
+        for sym, f in zip(syms, freqs):
+            for p in zip(sym, sym[1:]):
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        if pc[best] < BPE_MIN_PAIR:
+            break
+        nid = 256 + len(merges)
+        merges.append(best)
+        for i, sym in enumerate(syms):
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and (sym[j], sym[j + 1]) == best:
+                    out.append(nid)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            syms[i] = tuple(out)
+    ranks = {p: r for r, p in enumerate(merges)}
+
+    def enc(word: str) -> list[int]:
+        sym = list(word.encode("utf-8"))
+        while len(sym) > 1:
+            cand = [(ranks[(a, b)], i) for i, (a, b) in enumerate(zip(sym, sym[1:]))
+                    if (a, b) in ranks]
+            if not cand:
+                break
+            r, i = min(cand)
+            sym[i:i + 2] = [256 + r]
+        return sym
+
+    cache: dict[str, list[int]] = {}
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        ids: list[int] = []
+        for w in _BPE_RE.findall(t):
+            if w not in cache:
+                cache[w] = enc(w)
+            ids.extend(cache[w])
+        acc = 0
+        for x in ids:
+            acc = (acc * 1000003 + x) % 2147483647
+        rows.append((d, len(ids), acc))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "tok_hash"]).astype(
+        {"doc_id": "int64", "n_tokens": "int32", "tok_hash": "int64"}
+    )
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf in ("0.001", "0.01"):
@@ -210,8 +284,12 @@ def main() -> None:
                       index=False)
         inc.to_parquet(os.path.join(GOLDEN_DIR, f"dedup_incremental.sf{sf}.parquet"),
                        index=False)
+        bp = bpe_golden(docs)
+        bp.to_parquet(os.path.join(GOLDEN_DIR, f"bpe.sf{sf}.parquet"),
+                      index=False)
         print(f"sf{sf}: minhash_lsh={len(mh)} pairs, simhash={len(sim)} pairs, "
-              f"clusters={len(cl)} docs, incremental={len(inc)} pairs")
+              f"clusters={len(cl)} docs, incremental={len(inc)} pairs, "
+              f"bpe={len(bp)} docs")
 
 
 if __name__ == "__main__":
