@@ -198,6 +198,26 @@ def bpe_encode(
     )
 
 
+def save_merges(path: str, merges: list[tuple[int, int]]) -> None:
+    """Persist a fitted tokenizer as a JSON artifact (the merge list IS
+    the tokenizer — ranks are positions, ids reconstruct from rank)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"version": 1, "vocab_size": 256 + len(merges),
+                   "merges": [list(p) for p in merges]}, f)
+
+
+def load_merges(path: str) -> list[tuple[int, int]]:
+    import json
+
+    with open(path) as f:
+        art = json.load(f)
+    if art.get("version") != 1:
+        raise ValueError(f"unknown bpe artifact version {art.get('version')!r}")
+    return [(int(a), int(b)) for a, b in art["merges"]]
+
+
 def token_fold_hash(ids: Column) -> Column:
     """Order-sensitive polynomial fold of a token-id array, exact on
     both engines: acc = (acc * 1000003 + id) mod 2147483647 — every

@@ -93,6 +93,12 @@ def test_bpe_train_and_encode(spark):
         bpe.token_fold_hash(F.array(F.lit(2), F.lit(1))).alias("b"),
     ).first()
     assert h["a"] != h["b"]
+    # artifact roundtrip: save -> load yields the identical tokenizer
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json") as f:
+        bpe.save_merges(f.name, merges)
+        assert bpe.load_merges(f.name) == merges
 
 
 def test_semantic_dedup_planted_clusters(spark):
