@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polardbx_tools_spark.operators import (
-    bpe, dedup, masking, mixing, packing, similarity, temporal, text,
+    bpe, dedup, lm, masking, mixing, packing, similarity, temporal, text,
     transcripts,
 )
 from polardbx_tools_spark import report as rpt
@@ -349,6 +349,33 @@ def _q_join_revenue_by_nation(spark, sf):
             F.count("*").cast("long").alias("n_items"),
         )
     )
+
+
+def _q_agg_suite(spark, sf):
+    """ROLLUP grouping sets + exact distinct aggregates in ONE
+    labelled-union gate entry (50-cap consolidation of the former
+    rollup_revenue and distinct_aggregates): 'rollup' legs carry
+    (nation, priority) revenue with subtotals (NULL group markers
+    surfaced as '<all>'); 'distinct' legs carry per-op-class exact
+    countDistinct. Counts travel as doubles (exact < 2^53); unused
+    slots pinned -1.0."""
+    r = _q_rollup_revenue(spark, sf).select(
+        F.lit("rollup").alias("leg"),
+        F.coalesce(F.col("n_name"), F.lit("<all>")).alias("k1"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("k2"),
+        F.col("revenue").alias("v1"),
+        F.col("n_items").cast("double").alias("v2"),
+        F.lit(-1.0).alias("v3"),
+    )
+    d = _q_distinct_aggregates(spark, sf).select(
+        F.lit("distinct").alias("leg"),
+        F.col("op_class").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_users").cast("double").alias("v1"),
+        F.col("n_types").cast("double").alias("v2"),
+        F.col("n_events").cast("double").alias("v3"),
+    )
+    return r.unionByName(d)
 
 
 def _q_rollup_revenue(spark, sf):
@@ -1307,6 +1334,19 @@ def _q_embedding_near_dup_pairs(spark, sf):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cos_r"))
 
 
+def _q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring (arXiv:1911.00359): add-one
+    bigram word LM fitted on the reference slice (doc_id % 7 != 0, the
+    decontamination entry's training side), every document scored by
+    mean per-token -log10 probability. Integer-ratio probabilities
+    replay exactly in SQL; round(4) absorbs summation-order ulps."""
+    d = _t(spark, sf, "documents")
+    ref = d.filter(F.col("doc_id") % 7 != 0)
+    return lm.lm_perplexity(d, ref).select(
+        "doc_id", "n_tokens", F.round("log_ppl", 4).alias("log_ppl_r")
+    )
+
+
 def _q_bpe_tokenize(spark, sf):
     """Exact BPE tokenization under merges FITTED ON THIS CORPUS
     (distributed word count -> bounded driver merge loop -> Arrow
@@ -1368,8 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "join_suite": _q_join_suite,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
-        "rollup_revenue": _q_rollup_revenue,
-        "distinct_aggregates": _q_distinct_aggregates,
+        "agg_suite": _q_agg_suite,
         "topk_orders": _q_topk_orders,
         "text_metrics": _q_text_metrics,
         "text_tfidf_top_terms": _q_text_tfidf_top_terms,
@@ -1395,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "semantic_dedup": _q_semantic_dedup,
         "bpe_tokenize": _q_bpe_tokenize,
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -1742,24 +1782,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey = s_nationkey
             GROUP BY n_name
         """,
-        "rollup_revenue": """
-            SELECT n_name, o_orderpriority,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
-                   CAST(count(*) AS BIGINT) AS n_items
-            FROM lineitem
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation   ON s_nationkey = n_nationkey
-            GROUP BY ROLLUP (n_name, o_orderpriority)
-        """,
-        "distinct_aggregates": """
-            SELECT CASE WHEN event_type IN ('view','click') THEN 'DQL'
-                        ELSE 'DML' END AS op_class,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-                   CAST(count(*) AS BIGINT) AS n_events
-            FROM events GROUP BY 1
+        "agg_suite": """
+            SELECT 'rollup' AS leg,
+                   coalesce(n_name, '<all>') AS k1,
+                   coalesce(o_orderpriority, '<all>') AS k2,
+                   revenue AS v1, CAST(n_items AS DOUBLE) AS v2, -1.0 AS v3
+            FROM (SELECT n_name, o_orderpriority,
+                         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+                         CAST(count(*) AS BIGINT) AS n_items
+                  FROM lineitem
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  GROUP BY ROLLUP (n_name, o_orderpriority))
+            UNION ALL
+            SELECT 'distinct', op_class, '',
+                   CAST(n_users AS DOUBLE), CAST(n_types AS DOUBLE),
+                   CAST(n_events AS DOUBLE)
+            FROM (SELECT CASE WHEN event_type IN ('view','click') THEN 'DQL'
+                              ELSE 'DML' END AS op_class,
+                         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1)
         """,
         "topk_orders": """
             SELECT rank, o_orderkey, round(o_totalprice, 2) AS total_price
@@ -2106,6 +2152,44 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": """
             SELECT doc_id, n_tokens, tok_hash
             FROM read_parquet('/root/repo/tests/golden/bpe.sf0.01.parquet')
+        """,
+        "lm_perplexity": f"""
+            WITH ref AS (
+              SELECT {_TOKS_L} AS t FROM documents WHERE doc_id % 7 <> 0),
+            uni AS (
+              SELECT w, count(*) AS n
+              FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
+            bi AS (
+              SELECT a, b, count(*) AS n
+              FROM (SELECT t[i] AS a, t[i+1] AS b
+                    FROM ref, unnest(generate_series(1, len(t) - 1)) AS g(i))
+              GROUP BY 1, 2),
+            c AS (SELECT (SELECT sum(n) FROM uni) AS total,
+                         (SELECT count(*) FROM uni) AS vocab),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS cur,
+                     CASE WHEN i > 1 THEN t[i-1] END AS prev
+              FROM (SELECT doc_id, {_TOKS_L} AS t FROM documents),
+                   unnest(generate_series(1, len(t))) AS g(i)),
+            terms AS (
+              SELECT p.doc_id,
+                     CASE WHEN p.pos = 0
+                          THEN -log10((coalesce(u1.n, 0) + 1) /
+                                      (c.total + c.vocab + 1.0))
+                          ELSE -log10((coalesce(b.n, 0) + 1) /
+                                      (coalesce(u2.n, 0) + c.vocab + 1.0))
+                     END AS nlp
+              FROM pos p CROSS JOIN c
+              LEFT JOIN uni u1 ON u1.w = p.cur
+              LEFT JOIN uni u2 ON u2.w = p.prev
+              LEFT JOIN bi b ON b.a = p.prev AND b.b = p.cur)
+            SELECT d.doc_id,
+                   CAST(coalesce(t.n_tokens, 0) AS INTEGER) AS n_tokens,
+                   t.log_ppl_r
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN (SELECT doc_id, count(*) AS n_tokens,
+                              round(sum(nlp) / count(*), 4) AS log_ppl_r
+                       FROM terms GROUP BY 1) t USING (doc_id)
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec

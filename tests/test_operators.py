@@ -58,6 +58,32 @@ def test_duplicate_clusters_connected_components(spark):
         assert got == want, dme
 
 
+def test_lm_perplexity_hand_values(spark):
+    """CCNet-style bigram LM against hand-computed probabilities:
+    T=12 fit tokens, V=8 vocab (V'=9); 'the cat sat' scores
+    (-log10(4/21) - log10(3/12) - log10(2/11)) / 3. OOV docs score
+    strictly worse; empty docs report (0, NULL)."""
+    import math
+
+    from polardbx_tools_spark.operators import lm
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran"), (3, "a dog sat")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq ww"), (12, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm.lm_perplexity(docs, ref).collect()}
+    exp10 = (-math.log10(4 / 21) - math.log10(3 / 12) - math.log10(2 / 11)) / 3
+    assert abs(got[10]["log_ppl"] - exp10) < 1e-12
+    # all-OOV: first term (0+1)/(12+9), bigrams (0+1)/(0+9)
+    exp11 = (-math.log10(1 / 21) - 2 * math.log10(1 / 9)) / 3
+    assert abs(got[11]["log_ppl"] - exp11) < 1e-12
+    assert got[11]["log_ppl"] > got[10]["log_ppl"]
+    assert got[12]["n_tokens"] == 0 and got[12]["log_ppl"] is None
+    assert got[10]["n_tokens"] == 3
+
+
 def test_bpe_train_and_encode(spark):
     """BPE on a planted corpus: deterministic merges, lossless byte
     roundtrip through the vocab, batch-encode parity with the pure

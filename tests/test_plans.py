@@ -169,6 +169,25 @@ def test_round4_numpy_paths_plan_shapes(spark):
     assert lsh.index("Generate") < lsh.index("MapInPandas"), lsh
 
 
+def test_semantic_dedup_plan_one_cell_shuffle_no_joins(spark):
+    """semantic_dedup's physical shape: centroid literals ride the plan
+    (no fit-side join), cell assignment is a projection over the
+    streamed corpus, and the covering decision is ONE hash shuffle
+    keyed by cell into a grouped Arrow pass — no join anywhere, so at
+    100 TB the only data movement is the corpus partitioned by cell."""
+    from polardbx_tools_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(similarity.semantic_dedup(e, dim=64, tau=0.4, n_clusters=8))
+    assert "FlatMapGroupsInPandas" in p, p  # cell-grouped covering pass
+    for node in ("CartesianProduct", "BroadcastNestedLoop",
+                 "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in p, f"{node} in semantic_dedup plan\n{p}"
+    # exactly one key shuffle: the groupBy(cell) (the widen repartition
+    # is round-robin, not hashpartitioning)
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
 def test_scan_skips_python_for_builtin_ops(spark):
     """No BatchEvalPython / ArrowEval in plans of built-in operators —
     the hot path stays in WholeStageCodegen."""
