@@ -1142,6 +1142,21 @@ def _q_dedup_exact(spark, sf):
     )
 
 
+def _q_dedup_jaccard(spark, sf):
+    """EXACT all-pairs Jaccard in ONE labelled-union entry (50-cap
+    consolidation of the former dedup_jaccard_pairs and
+    dedup_ngram_jaccard): 'word' = word-set jaccard >= 0.8 over the
+    full corpus; 'char3' = character-3-gram jaccard >= 0.5 over the
+    deterministic 200-doc slice (see the leg docstrings)."""
+    w = _q_dedup_jaccard_pairs(spark, sf).select(
+        F.lit("word").alias("leg"), "id_a", "id_b", "jaccard"
+    )
+    c = _q_dedup_ngram_jaccard(spark, sf).select(
+        F.lit("char3").alias("leg"), "id_a", "id_b", "jaccard"
+    )
+    return w.unionByName(c)
+
+
 def _q_dedup_jaccard_pairs(spark, sf):
     """EXACT all-pairs jaccard >= 0.8 (complete, no blocking artifacts);
     the oracle is the equivalent all-pairs SQL with the implied
@@ -1334,6 +1349,18 @@ def _q_embedding_near_dup_pairs(spark, sf):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cos_r"))
 
 
+def _q_dedup_spans(spark, sf):
+    """Cross-document EXACT-substring duplicated spans (ExactSubstr,
+    arXiv:2107.06499): per-doc count/fraction of 20-token windows that
+    occur more than once in the corpus. Spark inventories int64 window
+    hashes; the oracle replays over the literal gram strings."""
+    d = _t(spark, sf, "documents")
+    return dedup.duplicate_spans(d, window=20).select(
+        "doc_id", "n_windows", "n_dup_windows",
+        F.round("dup_window_frac", 6).alias("dup_frac_r"),
+    )
+
+
 def _q_lm_perplexity(spark, sf):
     """CCNet-style LM quality scoring (arXiv:1911.00359): add-one
     bigram word LM fitted on the reference slice (doc_id % 7 != 0, the
@@ -1422,8 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_leakproof": _q_corpus_split_leakproof,
         "corpus_curation": _q_corpus_curation,
         "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_spans": _q_dedup_spans,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
@@ -2102,20 +2129,11 @@ def oracle_sql() -> dict[str, str]:
                    'normalized' AS kind
             FROM documents GROUP BY 1
         """,
-        "dedup_jaccard_pairs": f"""
+        "dedup_jaccard": f"""
             WITH base AS (
               SELECT doc_id AS id, {_WSET} AS ws, len({_WSET}) AS n
-              FROM documents)
-            SELECT a.id AS id_a, b.id AS id_b,
-                   round(len(list_intersect(a.ws, b.ws)) * 1.0 /
-                         len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
-            FROM base a JOIN base b
-              ON a.id < b.id AND 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n
-            WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
-                  len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
-        """,
-        "dedup_ngram_jaccard": """
-            WITH base AS (
+              FROM documents),
+            cbase AS (
               SELECT doc_id AS id,
                      CASE WHEN length(lower(text)) >= 3 THEN
                        list_distinct(list_transform(
@@ -2123,14 +2141,44 @@ def oracle_sql() -> dict[str, str]:
                          i -> substr(lower(text), i, 3)))
                      ELSE [lower(text)] END AS ws
               FROM documents WHERE doc_id < 200),
-            sized AS (SELECT id, ws, len(ws) AS n FROM base)
-            SELECT a.id AS id_a, b.id AS id_b,
+            csized AS (SELECT id, ws, len(ws) AS n FROM cbase)
+            SELECT 'word' AS leg, a.id AS id_a, b.id AS id_b,
                    round(len(list_intersect(a.ws, b.ws)) * 1.0 /
                          len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
-            FROM sized a JOIN sized b
+            FROM base a JOIN base b
+              ON a.id < b.id AND 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n
+            WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
+                  len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            UNION ALL
+            SELECT 'char3', a.id, b.id,
+                   round(len(list_intersect(a.ws, b.ws)) * 1.0 /
+                         len(list_distinct(list_concat(a.ws, b.ws))), 6)
+            FROM csized a JOIN csized b
               ON a.id < b.id AND 2 * a.n >= b.n AND 2 * b.n >= a.n
             WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
                   len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+        """,
+        "dedup_spans": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_L} AS tk FROM documents),
+            wins AS (
+              SELECT doc_id,
+                     array_to_string(tk[i:i+19], ' ') AS gram
+              FROM t, unnest(generate_series(1, greatest(len(tk) - 19, 0)))
+                   AS g(i)),
+            dup AS (SELECT gram FROM wins GROUP BY 1 HAVING count(*) >= 2),
+            n_all AS (SELECT doc_id, count(*) AS n_windows
+                      FROM wins GROUP BY 1),
+            n_dup AS (SELECT doc_id, count(*) AS n_dup_windows
+                      FROM wins SEMI JOIN dup USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_windows, 0) AS INTEGER) AS n_windows,
+                   CAST(coalesce(u.n_dup_windows, 0) AS INTEGER) AS n_dup_windows,
+                   CASE WHEN coalesce(a.n_windows, 0) > 0
+                        THEN round(coalesce(u.n_dup_windows, 0) * 1.0 /
+                                   a.n_windows, 6) END AS dup_frac_r
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN n_all a USING (doc_id)
+            LEFT JOIN n_dup u USING (doc_id)
         """,
         # golden oracles: DuckDB cannot evaluate Spark's xxhash64, so the
         # expected outputs are produced by an INDEPENDENT pure-Python

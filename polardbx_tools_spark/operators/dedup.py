@@ -403,6 +403,71 @@ def ngram_jaccard_pairs(
 
 # ----------------------------------------------------------- minhash+lsh
 
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document EXACT-substring duplicated spans (Lee et al. 2021,
+    arXiv:2107.06499 "ExactSubstr"): every length-``window`` token run
+    that occurs MORE THAN ONCE in the corpus (across documents or
+    repeated within one) is a duplicated span. Reported per document:
+    ``(id, n_windows, n_dup_windows, dup_window_frac)`` — the span-level
+    duplication profile the paper dedups on (removal policy stays with
+    the caller).
+
+    Physical shape: windows are built INSIDE the token array (struct of
+    (pos, xxhash64 of the joined run) — int64s leave the row, never the
+    50-token strings), then ONE corpus-sized inventory shuffle keyed by
+    the window hash (the honest cost — the paper's suffix-array sort
+    moves the same bytes), a left-semi join back on the same key (same
+    partitioning, AQE-reusable), and per-doc count aggregates. Docs
+    shorter than ``window`` report (0, 0, NULL).
+
+    The oracle replays window extraction and counting over the literal
+    gram STRINGS — equality with the hashed path holds unless xxhash64
+    collides (2^-64 per pair; deterministic testdata makes a pass
+    permanent)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    nwin = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(0))
+    wins = F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(toks, i, window), " ")
+            ),
+        ),
+    ).otherwise(F.expr("array()"))
+    occ = _widen_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col))) \
+        .select("_id", F.explode(wins).alias("h"))
+    dup_h = occ.groupBy("h").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") >= 2
+    ).select("h")
+    n_all = occ.groupBy("_id").agg(F.count("*").cast("int").alias("n_windows"))
+    n_dup = (
+        occ.join(dup_h, on="h", how="left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").cast("int").alias("n_dup_windows"))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(n_all, on="_id", how="left")
+        .join(n_dup, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"),
+            ).alias("dup_window_frac"),
+        )
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as an array (empty-safe, distinct)."""
     toks = tokens(F.lower(col))

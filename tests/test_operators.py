@@ -58,6 +58,32 @@ def test_duplicate_clusters_connected_components(spark):
         assert got == want, dme
 
 
+def test_duplicate_spans_planted(spark):
+    """ExactSubstr span profile on planted docs: two docs sharing a
+    4-token run (windows w=3: positions 1-2 of the run) are flagged
+    exactly on the overlapping windows; a unique doc reports 0 dups;
+    a short doc reports (0, 0, NULL); an intra-doc repeat counts too."""
+    from polardbx_tools_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta unique1 unique2"),
+        (2, "prefix alpha beta gamma delta tail"),
+        (3, "totally different words here now"),
+        (4, "tiny doc"),
+        (5, "rep rep rep rep rep"),  # intra-doc repeated windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.duplicate_spans(df, window=3).collect()}
+    # doc1: 4 windows, dup = ('alpha beta gamma','beta gamma delta') = 2
+    assert got[1]["n_windows"] == 4 and got[1]["n_dup_windows"] == 2
+    assert abs(got[1]["dup_window_frac"] - 0.5) < 1e-12
+    assert got[2]["n_windows"] == 4 and got[2]["n_dup_windows"] == 2
+    assert got[3]["n_dup_windows"] == 0 and got[3]["dup_window_frac"] == 0.0
+    assert got[4]["n_windows"] == 0 and got[4]["dup_window_frac"] is None
+    # doc5: 3 identical windows 'rep rep rep' -> all duplicated
+    assert got[5]["n_windows"] == 3 and got[5]["n_dup_windows"] == 3
+
+
 def test_lm_perplexity_hand_values(spark):
     """CCNet-style bigram LM against hand-computed probabilities:
     T=12 fit tokens, V=8 vocab (V'=9); 'the cat sat' scores
