@@ -1,3 +1,5 @@
-from polardbx_tools_spark.operators import dedup, masking, similarity, text
+from polardbx_tools_spark.operators import (
+    bpe, dedup, lm, masking, similarity, text,
+)
 
-__all__ = ["dedup", "masking", "similarity", "text"]
+__all__ = ["bpe", "dedup", "lm", "masking", "similarity", "text"]

@@ -11,6 +11,7 @@ packing:
         [--c4] [--min-sentences 5] \
         [--max-dup-line-frac 0.3] [--max-top-2gram-frac 0.18] \
         [--lang en] [--min-quality 0.5] \
+        [--max-log-ppl 4.0 [--ppl-ref <ref-parquet>]] \
         [--redact-pii email,phone,ssn,ipv4] \
         [--benchmark <eval-parquet>] [--ngram 13] \
         [--id-col doc_id] [--text-col text]
@@ -19,7 +20,10 @@ Every gate is a pure projection (C4 / repetition / quality / lang /
 PII), so the corpus is scanned once; decontamination adds only the
 broadcast eval-gram join (the corpus side never shuffles its text).
 Rejected rows carry the FIRST failing gate in ``reason``
-(``c4`` → ``repetition`` → ``lang`` → ``quality`` → ``contaminated``);
+(``c4`` → ``repetition`` → ``lang`` → ``quality`` → ``perplexity`` →
+``contaminated``); the perplexity gate is CCNet-style (bigram LM fitted
+on ``--ppl-ref``, or on the input itself when omitted) and, like
+decontamination, adds only per-doc score joins to the single pass;
 accepted rows carry the (optionally cleaned + PII-redacted) text with
 token count, quality, and lang columns, ready for run_mixing /
 run_packing. A one-line JSON summary (accepted + per-reason rejects)
@@ -53,6 +57,12 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=None)
     ap.add_argument("--redact-pii", default=None,
                     metavar="KINDS", help="comma list: email,phone,ssn,ipv4")
+    ap.add_argument("--ppl-ref", default=None,
+                    help="reference corpus parquet for the CCNet-style "
+                         "perplexity gate (default: fit on the input)")
+    ap.add_argument("--max-log-ppl", type=float, default=None,
+                    help="reject docs with mean per-token -log10 prob "
+                         "above this under the bigram LM")
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet; overlapping docs are rejected")
     ap.add_argument("--ngram", type=int, default=13)
@@ -95,6 +105,18 @@ def main() -> None:
         F.round(text.quality_score(cur), 2).alias("quality"),
         *[cond.alias(f"_f_{name}") for name, cond in fails],
     )
+    if args.max_log_ppl is not None:
+        from polardbx_tools_spark.operators import lm
+
+        ref = spark.read.parquet(args.ppl_ref) if args.ppl_ref else docs
+        ppl = lm.lm_perplexity(docs, ref, id_col=idc, text_col=txc).select(
+            idc, "log_ppl"
+        )
+        scored = scored.join(ppl, on=idc, how="left").withColumn(
+            "_f_perplexity",
+            F.coalesce(F.col("log_ppl") > args.max_log_ppl, F.lit(False)),
+        )
+        fails.append(("perplexity", F.col("_f_perplexity")))
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         flags = text.decontaminate(
