@@ -33,7 +33,7 @@ training-data surface layered on the same engine, like dedup/ANN.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -158,25 +158,34 @@ def _sequence_pieces(
     order_col: str | None,
     num_partitions: int | None,
     placement: DataFrame | None = None,
+    toks: Column | None = None,
+    token_col: str | None = None,
 ) -> DataFrame:
     """One row per (doc × spanned sequence): the token slice of the doc
     that falls inside that sequence, with its absolute position. Shared
-    by :func:`materialize_sequences` (groups pieces into texts) and
+    by :func:`materialize_sequences` (groups pieces into texts),
+    :func:`materialize_id_sequences` (groups token-id pieces), and
     :func:`sequence_manifest` (ships them to the data loader).
 
     ``placement`` reuses an existing (ideally persisted)
     :func:`pack_sequences` output instead of recomputing the prefix
     sum — the composition a production job uses when it needs the
-    placement AND the derived relations."""
+    placement AND the derived relations. ``toks`` overrides the token
+    ARRAY expression (default: whitespace tokens of ``text_col``) —
+    the slice/fan-out logic is element-type-agnostic, which is what
+    lets token-id arrays reuse it."""
     if placement is None:
         placement = pack_sequences(
             docs, budget, text_col=text_col, id_col=id_col,
-            order_col=order_col, num_partitions=num_partitions,
+            token_col=token_col, order_col=order_col,
+            num_partitions=num_partitions,
         )
-    from polardbx_tools_spark.operators.text import tokens
+    if toks is None:
+        from polardbx_tools_spark.operators.text import tokens
+
+        toks = tokens(F.col(text_col))
 
     joined = docs.select(id_col, text_col).join(placement, on=id_col)
-    toks = tokens(F.col(text_col))
     g = F.col("global_offset")
     return (
         joined.filter(F.col("n_seqs") > 0)
@@ -304,6 +313,57 @@ def materialize_sequences(
                     )
                 ),
             ).alias("seq_text"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("_piece")).cast("long").alias("n_tokens"),
+        )
+    )
+    if not keep_ragged_tail:
+        out = out.filter(F.col("n_tokens") == budget)
+    return out
+
+
+def materialize_id_sequences(
+    docs: DataFrame,
+    budget: int,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+    keep_ragged_tail: bool = False,
+    placement: DataFrame | None = None,
+) -> DataFrame:
+    """Loader-grade packed sequences of TOKEN IDS — the exact-BPE twin
+    of :func:`materialize_sequences`, consuming the tokenize job's
+    ``(id, token_ids array<int>)`` output (tools/run_tokenize.py)
+    instead of whitespace-token text. Returns
+    ``(seq_idx, input_ids, n_docs, n_tokens)`` with every ``input_ids``
+    exactly ``budget`` ids (ragged tail dropped unless kept) — what a
+    training data loader memory-maps.
+
+    Same physical shape as the text materializer: the prefix-sum
+    placement runs once (pass ``placement`` to reuse a persisted one),
+    boundary docs are sliced per spanned sequence, ONE shuffle on
+    ``seq_idx`` groups the pieces, and assembly is
+    ``flatten(sort_array(...))`` — builtin aggregation, no UDF."""
+    cnt = docs.withColumn("_cnt", F.size(F.col(ids_col)))
+    if placement is None:
+        placement = pack_sequences(
+            cnt, budget, id_col=id_col, token_col="_cnt",
+            order_col=order_col, num_partitions=num_partitions,
+        )
+    pieces = _sequence_pieces(
+        cnt, budget, ids_col, id_col, order_col, num_partitions,
+        placement=placement, toks=F.col(ids_col), token_col="_cnt",
+    )
+    out = (
+        pieces.groupBy("seq_idx")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_piece"))),
+                    lambda s: s["_piece"],
+                )
+            ).alias("input_ids"),
             F.count("*").cast("long").alias("n_docs"),
             F.sum(F.size("_piece")).cast("long").alias("n_tokens"),
         )

@@ -58,6 +58,28 @@ def test_duplicate_clusters_connected_components(spark):
         assert got == want, dme
 
 
+def test_materialize_id_sequences_bpe_roundtrip(spark):
+    """tokenize -> pack ids end-to-end: the concatenation of the packed
+    input_ids equals the concatenation of the per-doc BPE ids in id
+    order, chopped at the budget with the ragged tail dropped."""
+    from polardbx_tools_spark.operators import bpe, packing
+
+    rows = [(i, f"doc {i} alpha beta gamma delta common tail words") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.bpe_train(df, vocab_size=400)
+    enc = bpe.bpe_encode(df, merges).select("doc_id", "token_ids")
+    budget = 16
+    seqs = packing.materialize_id_sequences(enc, budget).collect()
+    per_doc = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
+    stream = [t for d in sorted(per_doc) for t in per_doc[d]]
+    expect_full = len(stream) // budget
+    assert len(seqs) == expect_full
+    assert all(len(r["input_ids"]) == budget for r in seqs)
+    got = [t for r in sorted(seqs, key=lambda r: r["seq_idx"])
+           for t in r["input_ids"]]
+    assert got == stream[: expect_full * budget]
+
+
 def test_duplicate_spans_planted(spark):
     """ExactSubstr span profile on planted docs: two docs sharing a
     4-token run (windows w=3: positions 1-2 of the run) are flagged

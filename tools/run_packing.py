@@ -15,6 +15,9 @@ fixed-budget sequences:
 
 `--from-transcripts` treats the input as lake turn state
 (conv_id/turn_idx/role/text[/tool]) and renders it to documents first.
+`--from-token-ids` treats the input as the tokenize job's output
+(tools/run_tokenize.py: id + token_ids) and packs EXACT BPE ids — the
+sequences parquet then carries `input_ids array<int>` instead of text.
 The placement parquet is partitioned by nothing (narrow relation); the
 sequences parquet is what a data loader consumes. A one-line JSON
 summary (docs, tokens, sequences, fill rate, boundary docs) prints on
@@ -45,6 +48,11 @@ def main() -> None:
     ap.add_argument("--from-transcripts", action="store_true",
                     help="input is turn-level lake state; render one "
                          "document per conversation first")
+    ap.add_argument("--from-token-ids", action="store_true",
+                    help="input is the tokenize job's output "
+                         "(id, token_ids); pack exact BPE ids instead "
+                         "of whitespace tokens")
+    ap.add_argument("--ids-col", default="token_ids")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--order-col", default=None,
@@ -69,26 +77,58 @@ def main() -> None:
         docs = transcripts_to_documents(docs).withColumnRenamed(
             "conv_id", args.id_col
         )
-    placed = pack_sequences(
-        docs, args.budget, text_col=args.text_col, id_col=args.id_col,
-        order_col=args.order_col, num_partitions=args.partitions,
-    )
+    if args.from_token_ids:
+        from pyspark.sql import functions as F
+
+        from polardbx_tools_spark.operators.packing import (
+            _sequence_pieces, materialize_id_sequences,
+        )
+
+        cnt = docs.withColumn("_cnt", F.size(F.col(args.ids_col)))
+        placed = pack_sequences(
+            cnt, args.budget, id_col=args.id_col, token_col="_cnt",
+            order_col=args.order_col, num_partitions=args.partitions,
+        )
+    else:
+        placed = pack_sequences(
+            docs, args.budget, text_col=args.text_col, id_col=args.id_col,
+            order_col=args.order_col, num_partitions=args.partitions,
+        )
     placed.write.mode("overwrite").parquet(args.placement)
     # the derived relations reuse the placement parquet just written —
     # the prefix sum runs ONCE however many outputs are requested
     on_disk = spark.read.parquet(args.placement)
     if args.sequences:
-        materialize_sequences(
-            docs, args.budget, text_col=args.text_col, id_col=args.id_col,
-            order_col=args.order_col, num_partitions=args.partitions,
-            keep_ragged_tail=args.keep_ragged_tail, placement=on_disk,
-        ).write.mode("overwrite").parquet(args.sequences)
+        if args.from_token_ids:
+            seqs = materialize_id_sequences(
+                docs, args.budget, ids_col=args.ids_col, id_col=args.id_col,
+                order_col=args.order_col, num_partitions=args.partitions,
+                keep_ragged_tail=args.keep_ragged_tail, placement=on_disk,
+            )
+        else:
+            seqs = materialize_sequences(
+                docs, args.budget, text_col=args.text_col, id_col=args.id_col,
+                order_col=args.order_col, num_partitions=args.partitions,
+                keep_ragged_tail=args.keep_ragged_tail, placement=on_disk,
+            )
+        seqs.write.mode("overwrite").parquet(args.sequences)
     if args.manifest:
-        sequence_manifest(
-            docs, args.budget, text_col=args.text_col, id_col=args.id_col,
-            order_col=args.order_col, num_partitions=args.partitions,
-            placement=on_disk,
-        ).write.mode("overwrite").parquet(args.manifest)
+        if args.from_token_ids:
+            pieces = _sequence_pieces(
+                cnt, args.budget, args.ids_col, args.id_col,
+                args.order_col, args.partitions, placement=on_disk,
+                toks=F.col(args.ids_col), token_col="_cnt",
+            )
+            man = sequence_manifest(
+                docs, args.budget, id_col=args.id_col, pieces=pieces,
+            )
+        else:
+            man = sequence_manifest(
+                docs, args.budget, text_col=args.text_col, id_col=args.id_col,
+                order_col=args.order_col, num_partitions=args.partitions,
+                placement=on_disk,
+            )
+        man.write.mode("overwrite").parquet(args.manifest)
     stats = packing_stats(
         spark.read.parquet(args.placement), args.budget
     ).collect()[0].asDict()
