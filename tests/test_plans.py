@@ -188,6 +188,23 @@ def test_semantic_dedup_plan_one_cell_shuffle_no_joins(spark):
     assert p.count("Exchange hashpartitioning") == 1, p
 
 
+def test_spans_and_lm_plans_stay_jvm_equi_join(spark):
+    """duplicate_spans and the bigram LM are pure JVM plans: no Python
+    eval anywhere (window hashing / probability math are expressions),
+    and every join is an equi-join — the span inventory joins back on
+    its own int64 hash key, the LM scores join the count relations."""
+    from polardbx_tools_spark.operators import dedup, lm
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sp = plan(dedup.duplicate_spans(d, window=20))
+    ref = d.filter("doc_id % 2 = 0")
+    lp = plan(lm.lm_perplexity(d, ref))
+    for name, p in (("spans", sp), ("lm", lp)):
+        assert "EvalPython" not in p, f"{name}: python in plan\n{p}"
+        assert "CartesianProduct" not in p, f"{name}: cartesian\n{p}"
+        assert "BroadcastNestedLoop" not in p, f"{name}: nested loop\n{p}"
+
+
 def test_scan_skips_python_for_builtin_ops(spark):
     """No BatchEvalPython / ArrowEval in plans of built-in operators —
     the hot path stays in WholeStageCodegen."""
