@@ -109,6 +109,65 @@ def mix_corpora(
     return out
 
 
+def temperature_weights(
+    token_masses: dict[str, float], tau: float = 0.3
+) -> dict[str, float]:
+    """Temperature-based mixture weights (multilingual-LM standard,
+    e.g. mT5, arXiv:2010.11934 §3.1): w_s ∝ T_s^tau. ``tau=1``
+    reproduces natural proportions, ``tau=0`` is uniform; the usual
+    range 0.2-0.7 upweights small sources without flattening entirely.
+    Pure driver math over the per-source masses :func:`mix_corpora`
+    already aggregates — feed the result straight back as its
+    ``weights``."""
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    raised = {s: float(t) ** tau for s, t in token_masses.items()}
+    z = sum(raised.values())
+    if z <= 0:
+        raise ValueError("token masses must be positive")
+    return {s: v / z for s, v in raised.items()}
+
+
+def unimax_weights(
+    token_masses: dict[str, float],
+    budget_tokens: float,
+    max_epochs: float = 4.0,
+) -> dict[str, float]:
+    """UniMax mixture weights (Chung et al. 2023, arXiv:2304.09151):
+    distribute a token budget as UNIFORMLY as possible across sources
+    while capping any source's repetition at ``max_epochs`` epochs.
+    Greedy water-filling over sources ascending by capacity
+    ``T_s * max_epochs``: a source that cannot absorb the uniform share
+    of the remaining budget is capped at its capacity and the residual
+    re-spreads over the rest — the paper's exact allocation. Returns
+    weights summing to 1 (budget shares); pair with
+    ``mix_corpora(target_tokens=budget_tokens)``."""
+    if budget_tokens <= 0 or max_epochs <= 0:
+        raise ValueError("budget_tokens and max_epochs must be positive")
+    caps = {s: float(t) * max_epochs for s, t in token_masses.items()}
+    if sum(caps.values()) < budget_tokens:
+        raise ValueError(
+            f"budget {budget_tokens} exceeds total capacity "
+            f"{sum(caps.values())} at max_epochs={max_epochs}"
+        )
+    alloc: dict[str, float] = {}
+    remaining_budget = float(budget_tokens)
+    todo = sorted(caps, key=lambda s: (caps[s], s))
+    while todo:
+        share = remaining_budget / len(todo)
+        s = todo[0]
+        if caps[s] <= share:
+            alloc[s] = caps[s]
+            remaining_budget -= caps[s]
+            todo.pop(0)
+        else:
+            # every remaining source can absorb the uniform share
+            for s in todo:
+                alloc[s] = share
+            todo = []
+    return {s: v / budget_tokens for s, v in alloc.items()}
+
+
 def interleave_key(id_col: str = "doc_id", seed: int = 0) -> Column:
     """Order key over :func:`mix_corpora` output that scatters sources
     (and epoch repeats of the same doc) uniformly through the packed

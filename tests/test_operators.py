@@ -1427,6 +1427,40 @@ def test_packing_derivations_reuse_placement(spark, tmp_path):
     assert fresh_s == reused_s
 
 
+def test_mixture_weight_policies():
+    """Published mixture policies, hand-checked: temperature weights
+    (mT5) interpolate natural→uniform as tau drops; UniMax water-fills
+    uniformly under the epoch cap, capping only sources that cannot
+    absorb the uniform share."""
+    from polardbx_tools_spark.operators import mixing
+
+    masses = {"a": 100.0, "b": 1000.0, "c": 1000.0}
+    nat = mixing.temperature_weights(masses, tau=1.0)
+    assert abs(nat["a"] - 100 / 2100) < 1e-12
+    uni = mixing.temperature_weights(masses, tau=0.0)
+    assert all(abs(w - 1 / 3) < 1e-12 for w in uni.values())
+    mid = mixing.temperature_weights(masses, tau=0.3)
+    assert nat["a"] < mid["a"] < uni["a"]  # small source monotonically up
+    assert abs(sum(mid.values()) - 1) < 1e-12
+
+    # UniMax hand case: caps {a:200,b:2000,c:2000}, budget 1500 ->
+    # uniform share 500 caps a at 200; residual 1300 splits 650/650
+    w = mixing.unimax_weights(masses, budget_tokens=1500, max_epochs=2)
+    assert abs(w["a"] - 200 / 1500) < 1e-12
+    assert abs(w["b"] - 650 / 1500) < 1e-12 and abs(w["c"] - 650 / 1500) < 1e-12
+    assert abs(sum(w.values()) - 1) < 1e-12
+    # epoch cap respected: allocation/T_s <= max_epochs for every source
+    for s, ws in w.items():
+        assert ws * 1500 / masses[s] <= 2 + 1e-9
+    # plenty of budget headroom -> pure uniform
+    w2 = mixing.unimax_weights(masses, budget_tokens=300, max_epochs=4)
+    assert all(abs(ws - 1 / 3) < 1e-12 for ws in w2.values())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mixing.unimax_weights(masses, budget_tokens=10**9, max_epochs=1)
+
+
 def test_mix_corpora_weights_and_epochs(spark):
     """Weighted mixture: achieved token shares track the requested
     weights; a small high-weight source oversamples with epoch counts;

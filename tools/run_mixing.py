@@ -48,9 +48,17 @@ def main() -> None:
     ap.add_argument("--source", action="append", required=True,
                     metavar="NAME=PARQUET_DIR",
                     help="repeat per corpus")
-    ap.add_argument("--weight", action="append", required=True,
+    ap.add_argument("--weight", action="append", default=None,
                     metavar="NAME=W",
-                    help="target token share per corpus (normalized)")
+                    help="target token share per corpus (normalized); "
+                         "or derive shares with --temperature/--unimax")
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="derive weights from per-source token masses: "
+                         "w_s ∝ T_s^tau (mT5-style; 1=natural, 0=uniform)")
+    ap.add_argument("--unimax", type=float, default=None, metavar="BUDGET",
+                    help="derive weights by UniMax water-filling of "
+                         "BUDGET tokens under --max-epochs")
+    ap.add_argument("--max-epochs", type=float, default=4.0)
     ap.add_argument("--output", required=True)
     ap.add_argument("--target-tokens", type=int, default=None,
                     help="mixture size; omitted = largest mixture "
@@ -67,19 +75,55 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from polardbx_tools_spark.operators.mixing import (
-        interleave_key, mix_corpora, mixture_stats,
+        interleave_key, mix_corpora, mixture_stats, temperature_weights,
+        unimax_weights,
     )
 
     paths = _kv(args.source, "source")
-    weights = _kv(args.weight, "weight", float)
-    if set(paths) != set(weights):
-        raise SystemExit("--source and --weight names must match")
+    policies = sum(
+        x is not None for x in (args.weight, args.temperature, args.unimax)
+    )
+    if policies != 1:
+        raise SystemExit(
+            "give exactly one of --weight / --temperature / --unimax"
+        )
 
     spark = SparkSession.builder.getOrCreate()  # master/conf: spark-submit
+    srcs = {k: spark.read.parquet(p) for k, p in paths.items()}
+    target_tokens = args.target_tokens
+    if args.weight is not None:
+        weights = _kv(args.weight, "weight", float)
+        if set(paths) != set(weights):
+            raise SystemExit("--source and --weight names must match")
+    else:
+        from pyspark.sql import functions as F
+
+        from polardbx_tools_spark.operators.text import token_count
+
+        cnt = (
+            (lambda df: F.col(args.token_col))
+            if args.token_col
+            else (lambda df: token_count(F.col(args.text_col)))
+        )
+        masses = {
+            k: float(
+                df.select(F.sum(cnt(df)).alias("t")).first()["t"] or 0
+            )
+            for k, df in srcs.items()
+        }
+        if args.temperature is not None:
+            weights = temperature_weights(masses, args.temperature)
+        else:
+            weights = unimax_weights(
+                masses, args.unimax, max_epochs=args.max_epochs
+            )
+            # UniMax weights are shares OF the budget — fix the size too
+            target_tokens = target_tokens or int(args.unimax)
+
     mixed = mix_corpora(
-        {k: spark.read.parquet(p) for k, p in paths.items()},
+        srcs,
         weights,
-        target_tokens=args.target_tokens,
+        target_tokens=target_tokens,
         text_col=args.text_col,
         id_col=args.id_col,
         token_col=args.token_col,
@@ -103,6 +147,7 @@ def main() -> None:
         r["source"]: {k: v for k, v in r.asDict().items() if k != "source"}
         for r in mixture_stats(spark.read.parquet(args.output)).collect()
     }
+    stats["_weights"] = {k: round(v, 6) for k, v in weights.items()}
     print(json.dumps(stats, sort_keys=True))
 
 
