@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polardbx_tools_spark.operators import (
-    bpe, dedup, lm, masking, mixing, packing, similarity, temporal, text,
-    transcripts,
+    bpe, dedup, dsir, lm, masking, mixing, packing, similarity, temporal,
+    text, transcripts,
 )
 from polardbx_tools_spark import report as rpt
 
@@ -1361,17 +1361,45 @@ def _q_dedup_spans(spark, sf):
     )
 
 
-def _q_lm_perplexity(spark, sf):
-    """CCNet-style LM quality scoring (arXiv:1911.00359): add-one
-    bigram word LM fitted on the reference slice (doc_id % 7 != 0, the
-    decontamination entry's training side), every document scored by
-    mean per-token -log10 probability. Integer-ratio probabilities
-    replay exactly in SQL; round(4) absorbs summation-order ulps."""
+def _q_quality_suite(spark, sf):
+    """LM quality scoring AND importance-resampled data selection in one
+    labelled-union entry (50-cap consolidation of the former
+    lm_perplexity slot). Legs, all (leg, doc_id, n, v):
+
+    * 'ppl' — CCNet-style add-one bigram-LM scoring (arXiv:1911.00359),
+      fitted on the reference slice (doc_id % 7 != 0, the
+      decontamination entry's training side); n = token count,
+      v = mean per-token -log10 probability. Unchanged semantics from
+      the former lm_perplexity entry.
+    * 'dsir' — DSIR importance weights (arXiv:2302.03169): hashed
+      unigram+bigram buckets (md5-hex, 4096 buckets), add-one smoothed
+      target-vs-raw log10 ratio summed per doc; n = feature count,
+      v = log weight. Target = the SAME reference slice, raw = full
+      corpus.
+    * 'sel' — the Gumbel-top-64 resampled selection (seed 7,
+      deterministic md5 noise); n = selection rank, v = the winner's
+      log weight.
+
+    Integer-ratio probabilities replay exactly in SQL; round(4)
+    absorbs summation-order ulps."""
     d = _t(spark, sf, "documents")
     ref = d.filter(F.col("doc_id") % 7 != 0)
-    return lm.lm_perplexity(d, ref).select(
-        "doc_id", "n_tokens", F.round("log_ppl", 4).alias("log_ppl_r")
+    ppl = lm.lm_perplexity(d, ref).select(
+        F.lit("ppl").alias("leg"), "doc_id",
+        F.col("n_tokens").cast("int").alias("n"),
+        F.round("log_ppl", 4).alias("v"),
     )
+    ratios, consts = dsir.dsir_fit(ref, d, n_buckets=4096)
+    w = dsir.dsir_weights(d, ratios, consts)
+    dw = w.select(
+        F.lit("dsir").alias("leg"), "doc_id",
+        F.col("n_feats").alias("n"), F.round("log_w", 4).alias("v"),
+    )
+    sel = dsir.select_top_k(w, k=64, seed=7).select(
+        F.lit("sel").alias("leg"), "doc_id",
+        F.col("sel_rank").alias("n"), F.round("log_w", 4).alias("v"),
+    )
+    return ppl.unionByName(dw).unionByName(sel)
 
 
 def _q_bpe_tokenize(spark, sf):
@@ -1461,7 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "semantic_dedup": _q_semantic_dedup,
         "bpe_tokenize": _q_bpe_tokenize,
-        "lm_perplexity": _q_lm_perplexity,
+        "quality_suite": _q_quality_suite,
     }
 
 
@@ -2201,7 +2229,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, tok_hash
             FROM read_parquet('/root/repo/tests/golden/bpe.sf0.01.parquet')
         """,
-        "lm_perplexity": f"""
+        "quality_suite": f"""
             WITH ref AS (
               SELECT {_TOKS_L} AS t FROM documents WHERE doc_id % 7 <> 0),
             uni AS (
@@ -2230,14 +2258,60 @@ def oracle_sql() -> dict[str, str]:
               FROM pos p CROSS JOIN c
               LEFT JOIN uni u1 ON u1.w = p.cur
               LEFT JOIN uni u2 ON u2.w = p.prev
-              LEFT JOIN bi b ON b.a = p.prev AND b.b = p.cur)
-            SELECT d.doc_id,
-                   CAST(coalesce(t.n_tokens, 0) AS INTEGER) AS n_tokens,
-                   t.log_ppl_r
-            FROM (SELECT doc_id FROM documents) d
-            LEFT JOIN (SELECT doc_id, count(*) AS n_tokens,
-                              round(sum(nlp) / count(*), 4) AS log_ppl_r
-                       FROM terms GROUP BY 1) t USING (doc_id)
+              LEFT JOIN bi b ON b.a = p.prev AND b.b = p.cur),
+            ppl AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(t.n_tokens, 0) AS INTEGER) AS n,
+                     t.v
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN (SELECT doc_id, count(*) AS n_tokens,
+                                round(sum(nlp) / count(*), 4) AS v
+                         FROM terms GROUP BY 1) t USING (doc_id)),
+            -- DSIR legs (arXiv:2302.03169): hashed unigram+bigram
+            -- buckets, add-one smoothed target-vs-raw log10 ratios
+            feat AS (
+              SELECT doc_id, f
+              FROM (SELECT doc_id, {_TOKS_L} AS t FROM documents),
+                   unnest(
+                     list_transform(t,
+                       s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 4096) ||
+                     CASE WHEN len(t) > 1 THEN
+                       list_transform(generate_series(1, len(t) - 1),
+                         i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT % 4096)
+                     ELSE [] END
+                   ) AS g(f)),
+            dtc AS (SELECT f, count(*) AS n FROM feat
+                    WHERE doc_id % 7 <> 0 GROUP BY 1),
+            drc AS (SELECT f, count(*) AS n FROM feat GROUP BY 1),
+            dc AS (SELECT (SELECT coalesce(sum(n), 0) FROM dtc) AS tt,
+                          (SELECT coalesce(sum(n), 0) FROM drc) AS tr),
+            dwt AS (
+              SELECT drc.f,
+                     log10((coalesce(dtc.n, 0) + 1) / (dc.tt + 4096.0))
+                     - log10((drc.n + 1) / (dc.tr + 4096.0)) AS lr
+              FROM drc LEFT JOIN dtc ON drc.f = dtc.f CROSS JOIN dc),
+            dw AS (
+              SELECT doc_id, count(*) AS nf, sum(dwt.lr) AS lw
+              FROM feat JOIN dwt ON feat.f = dwt.f GROUP BY 1),
+            dsir AS (
+              SELECT d.doc_id, CAST(coalesce(s.nf, 0) AS INTEGER) AS n,
+                     round(s.lw, 4) AS v
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN dw s USING (doc_id)),
+            dkey AS (
+              SELECT doc_id, lw,
+                     lw - log10(-ln(
+                       (('0x' || substr(md5(doc_id || ':7'), 1, 8))::BIGINT
+                        + 1.0) / 4294967296.0)) AS key
+              FROM dw WHERE lw IS NOT NULL),
+            dsel AS (
+              SELECT doc_id, CAST(rn AS INTEGER) AS n, round(lw, 4) AS v
+              FROM (SELECT doc_id, lw, row_number() OVER (
+                          ORDER BY key DESC, doc_id) AS rn FROM dkey)
+              WHERE rn <= 64)
+            SELECT 'ppl' AS leg, * FROM ppl
+            UNION ALL SELECT 'dsir' AS leg, * FROM dsir
+            UNION ALL SELECT 'sel' AS leg, * FROM dsel
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
