@@ -1351,14 +1351,31 @@ def _q_embedding_near_dup_pairs(spark, sf):
 
 def _q_dedup_spans(spark, sf):
     """Cross-document EXACT-substring duplicated spans (ExactSubstr,
-    arXiv:2107.06499): per-doc count/fraction of 20-token windows that
-    occur more than once in the corpus. Spark inventories int64 window
-    hashes; the oracle replays over the literal gram strings."""
+    arXiv:2107.06499) in one labelled-union entry, both halves of the
+    paper. Legs, all (leg, doc_id, a, b, v):
+
+    * 'profile' — per-doc 20-token-window duplication profile
+      (a = n_windows, b = n_dup_windows, v = dup fraction).
+    * 'removed' — the REMOVAL policy (§4.1: canonical first occurrence
+      survives, every other duplicated window's cover is cut);
+      a = surviving tokens, b = removed tokens, v = removed fraction.
+
+    Spark inventories int64 window hashes; the oracle replays over the
+    literal gram strings."""
     d = _t(spark, sf, "documents")
-    return dedup.duplicate_spans(d, window=20).select(
-        "doc_id", "n_windows", "n_dup_windows",
-        F.round("dup_window_frac", 6).alias("dup_frac_r"),
+    prof = dedup.duplicate_spans(d, window=20).select(
+        F.lit("profile").alias("leg"), "doc_id",
+        F.col("n_windows").alias("a"), F.col("n_dup_windows").alias("b"),
+        F.round("dup_window_frac", 6).alias("v"),
     )
+    rem = dedup.remove_duplicate_spans(d, window=20)
+    tot = F.col("n_tokens") + F.col("n_removed")
+    rem = rem.select(
+        F.lit("removed").alias("leg"), "doc_id",
+        F.col("n_tokens").alias("a"), F.col("n_removed").alias("b"),
+        F.when(tot > 0, F.round(F.col("n_removed") / tot, 6)).alias("v"),
+    )
+    return prof.unionByName(rem)
 
 
 def _q_quality_suite(spark, sf):
@@ -2189,7 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": f"""
             WITH t AS (SELECT doc_id, {_TOKS_L} AS tk FROM documents),
             wins AS (
-              SELECT doc_id,
+              SELECT doc_id, i AS pos,
                      array_to_string(tk[i:i+19], ' ') AS gram
               FROM t, unnest(generate_series(1, greatest(len(tk) - 19, 0)))
                    AS g(i)),
@@ -2197,16 +2214,42 @@ def oracle_sql() -> dict[str, str]:
             n_all AS (SELECT doc_id, count(*) AS n_windows
                       FROM wins GROUP BY 1),
             n_dup AS (SELECT doc_id, count(*) AS n_dup_windows
-                      FROM wins SEMI JOIN dup USING (gram) GROUP BY 1)
-            SELECT d.doc_id,
-                   CAST(coalesce(a.n_windows, 0) AS INTEGER) AS n_windows,
-                   CAST(coalesce(u.n_dup_windows, 0) AS INTEGER) AS n_dup_windows,
-                   CASE WHEN coalesce(a.n_windows, 0) > 0
-                        THEN round(coalesce(u.n_dup_windows, 0) * 1.0 /
-                                   a.n_windows, 6) END AS dup_frac_r
-            FROM (SELECT doc_id FROM documents) d
-            LEFT JOIN n_all a USING (doc_id)
-            LEFT JOIN n_dup u USING (doc_id)
+                      FROM wins SEMI JOIN dup USING (gram) GROUP BY 1),
+            profile AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(a.n_windows, 0) AS INTEGER) AS a,
+                     CAST(coalesce(u.n_dup_windows, 0) AS INTEGER) AS b,
+                     CASE WHEN coalesce(a.n_windows, 0) > 0
+                          THEN round(coalesce(u.n_dup_windows, 0) * 1.0 /
+                                     a.n_windows, 6) END AS v
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN n_all a USING (doc_id)
+              LEFT JOIN n_dup u USING (doc_id)),
+            -- removal leg: canonical first occurrence (min (doc,pos))
+            -- survives; the union of every other duplicated window's
+            -- cover is cut
+            docc AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn
+              FROM wins SEMI JOIN dup USING (gram)),
+            cov AS (
+              SELECT DISTINCT doc_id, pos + i AS tpos
+              FROM (SELECT doc_id, pos FROM docc WHERE rn > 1),
+                   unnest(generate_series(0, 19)) AS g(i)),
+            removed AS (
+              SELECT t.doc_id,
+                     CAST(coalesce(len(t.tk), 0)
+                          - coalesce(rc.nc, 0) AS INTEGER) AS a,
+                     CAST(coalesce(rc.nc, 0) AS INTEGER) AS b,
+                     CASE WHEN coalesce(len(t.tk), 0) > 0
+                          THEN round(coalesce(rc.nc, 0) * 1.0 /
+                                     len(t.tk), 6) END AS v
+              FROM t
+              LEFT JOIN (SELECT doc_id, count(*) AS nc
+                         FROM cov GROUP BY 1) rc USING (doc_id))
+            SELECT 'profile' AS leg, * FROM profile
+            UNION ALL SELECT 'removed' AS leg, * FROM removed
         """,
         # golden oracles: DuckDB cannot evaluate Spark's xxhash64, so the
         # expected outputs are produced by an INDEPENDENT pure-Python

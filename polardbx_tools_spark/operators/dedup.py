@@ -468,6 +468,99 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2021, arXiv:2107.06499 §4.1 —
+    the companion of :func:`duplicate_spans`' profile): for every
+    length-``window`` token run that occurs more than once in the
+    corpus, keep the canonical FIRST occurrence (minimum (id, pos))
+    and cut the tokens covered by every other occurrence. Returns
+    ``(id, text, n_tokens, n_removed)`` — ``text`` is the cleaned
+    document rebuilt from surviving tokens (single-space joined;
+    original token casing preserved, matching is case-insensitive),
+    ``n_tokens`` the surviving count.
+
+    Policy notes: overlapping duplicated windows cut the UNION of
+    their covers, so a doc holding the canonical copy of one span can
+    still lose tokens to a different span's non-canonical occurrence —
+    the paper's remove-all-but-one-occurrence semantics at window
+    granularity, fully deterministic. Docs shorter than ``window``
+    pass through untouched (whitespace-normalized).
+
+    Physical shape: the window inventory is the same ONE corpus-sized
+    shuffle as the profile (int64 hashes, never the token strings);
+    the keeper is a min-struct aggregate on that key; coverage
+    explodes (id, covered-pos) int pairs — at most ``window`` x the
+    duplicated-window count, linear — and the rebuild is a left-anti
+    join plus one per-doc sort-collect. No driver state, no UDFs."""
+    toks_o = tokens(F.col(text_col))
+    toks_l = F.transform(toks_o, lambda t: F.lower(t))
+    nwin = F.greatest(F.size(toks_l) - F.lit(window - 1), F.lit(0))
+    wins = F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.array_join(F.slice(toks_l, i, window), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:bigint>>"))
+    base = _widen_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    occ = base.select("_id", F.explode(wins).alias("w")).select(
+        "_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+    keep = (
+        occ.groupBy("h")
+        .agg(F.count("*").alias("_n"), F.min(F.struct("_id", "pos")).alias("k"))
+        .filter(F.col("_n") >= 2)
+        .select("h", F.col("k._id").alias("_kid"), F.col("k.pos").alias("_kpos"))
+    )
+    drop = occ.join(keep, on="h").filter(
+        ~((F.col("_id") == F.col("_kid")) & (F.col("pos") == F.col("_kpos")))
+    )
+    covered = drop.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+        ).alias("tpos"),
+    ).distinct()
+    toks_tbl = base.select(
+        "_id", F.posexplode(toks_o).alias("tpos0", "tok")
+    ).select("_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    kept = toks_tbl.join(covered, on=["_id", "tpos"], how="left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_text"),
+        F.count("*").cast("int").alias("n_tokens"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens(F.col(text_col))).cast("int").alias("_n_orig"),
+    )
+    return (
+        totals.join(rebuilt, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias("text"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.greatest(F.col("_n_orig"), F.lit(0))
+                - F.coalesce("n_tokens", F.lit(0))
+            ).cast("int").alias("n_removed"),
+        )
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as an array (empty-safe, distinct)."""
     toks = tokens(F.lower(col))

@@ -106,6 +106,58 @@ def test_duplicate_spans_planted(spark):
     assert got[5]["n_windows"] == 3 and got[5]["n_dup_windows"] == 3
 
 
+def test_remove_duplicate_spans_planted(spark):
+    """ExactSubstr REMOVAL on planted docs: the canonical (min (id,pos))
+    occurrence survives byte-for-byte, every other occurrence's cover
+    is cut, matching is case-insensitive but surviving tokens keep
+    their original casing, and sub-window/NULL docs pass through."""
+    from polardbx_tools_spark.operators import dedup
+
+    span = "alpha bravo charlie delta"
+    rows = [
+        (1, f"intro one two {span} tail x y"),
+        (2, f"other doc start {span} more words"),
+        (3, "totally unique text without repeats at all"),
+        (4, span),
+        (5, "short"),
+        (6, None),
+        (7, "UPPER case Alpha Bravo Charlie Delta suffix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, window=4).collect()}
+    assert got[1]["text"] == f"intro one two {span} tail x y"
+    assert got[1]["n_removed"] == 0
+    assert got[2]["text"] == "other doc start more words"
+    assert (got[2]["n_tokens"], got[2]["n_removed"]) == (5, 4)
+    assert got[3]["n_removed"] == 0
+    assert got[4]["text"] == "" and got[4]["n_tokens"] == 0
+    assert got[4]["n_removed"] == 4
+    assert got[5]["text"] == "short" and got[5]["n_removed"] == 0
+    assert got[6]["text"] == "" and got[6]["n_removed"] == 0
+    assert got[7]["text"] == "UPPER case suffix"
+    # corpus token conservation: removed + kept == original totals
+    orig = sum(len(t.split()) for _, t in rows if t)
+    assert sum(g["n_tokens"] + g["n_removed"] for g in got.values()) == orig
+
+
+def test_remove_duplicate_spans_overlap_union(spark):
+    """Overlapping duplicated windows cut the UNION of their covers:
+    doc B repeats A's 5-token run; with window=4 both of B's windows
+    are non-canonical, so all 5 covered tokens go, not 4+4."""
+    from polardbx_tools_spark.operators import dedup
+
+    rows = [
+        (1, "one two three four five uniq_a"),
+        (2, "uniq_b one two three four five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, window=4).collect()}
+    assert got[1]["n_removed"] == 0
+    assert got[2]["text"] == "uniq_b" and got[2]["n_removed"] == 5
+
+
 def test_lm_perplexity_hand_values(spark):
     """CCNet-style bigram LM against hand-computed probabilities:
     T=12 fit tokens, V=8 vocab (V'=9); 'the cat sat' scores
