@@ -8,17 +8,27 @@ packing:
     spark-submit --master <cluster> \
         --py-files dist/polardbx_tools_spark.zip tools/run_prepare.py \
         --input <docs-parquet> --accepted <dir> --rejected <dir> \
+        [--remove-dup-spans 50] \
         [--c4] [--min-sentences 5] \
         [--max-dup-line-frac 0.3] [--max-top-2gram-frac 0.18] \
         [--lang en] [--min-quality 0.5] \
         [--max-log-ppl 4.0 [--ppl-ref <ref-parquet>]] \
         [--redact-pii email,phone,ssn,ipv4] \
         [--benchmark <eval-parquet>] [--ngram 13] \
+        [--select-target <parquet> --select-k N [--select-seed 0] \
+         [--dsir-buckets 10000] [--selected <dir>]] \
         [--id-col doc_id] [--text-col text]
 
 Every gate is a pure projection (C4 / repetition / quality / lang /
 PII), so the corpus is scanned once; decontamination adds only the
 broadcast eval-gram join (the corpus side never shuffles its text).
+``--remove-dup-spans W`` prepends ExactSubstr removal (one corpus
+inventory shuffle; non-canonical duplicated W-token window covers are
+cut before any gate sees the text; removed-token total rides the
+summary). ``--select-target``/``--select-k`` appends DSIR importance
+resampling (arXiv:2302.03169) over the ACCEPTED pool — the Gumbel-top-k
+most target-like docs land in ``--selected`` (default
+``<accepted>_selected``) with log_w/sel_rank columns.
 Rejected rows carry the FIRST failing gate in ``reason``
 (``c4`` → ``repetition`` → ``lang`` → ``quality`` → ``perplexity`` →
 ``contaminated``); the perplexity gate is CCNet-style (bigram LM fitted
@@ -66,6 +76,19 @@ def main() -> None:
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet; overlapping docs are rejected")
     ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--remove-dup-spans", type=int, default=None,
+                    metavar="W",
+                    help="ExactSubstr removal: cut non-canonical "
+                         "duplicated W-token window covers before gating")
+    ap.add_argument("--select-target", default=None,
+                    help="target-corpus parquet for DSIR importance "
+                         "selection over the accepted pool")
+    ap.add_argument("--select-k", type=int, default=None)
+    ap.add_argument("--select-seed", type=int, default=0)
+    ap.add_argument("--dsir-buckets", type=int, default=10000)
+    ap.add_argument("--selected", default=None,
+                    help="output dir for the DSIR-selected subset "
+                         "(default <accepted>_selected)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
@@ -78,6 +101,20 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()  # master/conf: spark-submit
     docs = spark.read.parquet(args.input)
     idc, txc = args.id_col, args.text_col
+
+    span_removed_col = F.lit(0)
+    if args.remove_dup_spans:
+        from polardbx_tools_spark.operators import dedup
+
+        cleaned = dedup.remove_duplicate_spans(
+            docs, window=args.remove_dup_spans, id_col=idc, text_col=txc
+        ).select(
+            F.col(idc),
+            F.col("text").alias(txc),
+            F.col("n_removed").alias("_span_removed"),
+        )
+        docs = docs.drop(txc).join(cleaned, on=idc, how="inner")
+        span_removed_col = F.col("_span_removed")
 
     cur = F.col(txc)
     fails: list[tuple[str, "F.Column"]] = []
@@ -101,6 +138,7 @@ def main() -> None:
     scored = docs.select(
         F.col(idc),
         cur.alias("_text"),
+        span_removed_col.alias("_span_removed"),
         text.lang_id(cur).alias("lang"),
         F.round(text.quality_score(cur), 2).alias("quality"),
         *[cond.alias(f"_f_{name}") for name, cond in fails],
@@ -150,14 +188,28 @@ def main() -> None:
         F.col(idc), F.col("reason")
     ).write.mode("overwrite").parquet(args.rejected)
 
-    stats = {
-        r["reason"] or "accepted": r["n"]
-        for r in scored.groupBy("reason")
-        .agg(F.count("*").alias("n")).collect()
-    }
+    agg = scored.groupBy("reason").agg(
+        F.count("*").alias("n"),
+        F.sum("_span_removed").alias("sr"),
+    ).collect()
+    stats = {r["reason"] or "accepted": r["n"] for r in agg}
+    summary = {"accepted": stats.pop("accepted", 0), "rejected": stats}
+    if args.remove_dup_spans:
+        summary["span_tokens_removed"] = int(sum(r["sr"] or 0 for r in agg))
     scored.unpersist()
-    print(json.dumps({"accepted": stats.pop("accepted", 0),
-                      "rejected": stats}, sort_keys=True))
+
+    if args.select_k and args.select_target:
+        from polardbx_tools_spark.operators import dsir
+
+        target = spark.read.parquet(args.select_target)
+        pool = spark.read.parquet(args.accepted)
+        sel_dir = args.selected or args.accepted.rstrip("/") + "_selected"
+        dsir.dsir_select(
+            pool, target, k=args.select_k, id_col=idc, text_col=txc,
+            n_buckets=args.dsir_buckets, seed=args.select_seed,
+        ).write.mode("overwrite").parquet(sel_dir)
+        summary["selected"] = spark.read.parquet(sel_dir).count()
+    print(json.dumps(summary, sort_keys=True))
 
 
 if __name__ == "__main__":
