@@ -198,6 +198,45 @@ def bpe_encode(
     )
 
 
+def bpe_decode(
+    df: DataFrame,
+    merges: list[tuple[int, int]],
+    ids_col: str = "token_ids",
+    out_col: str = "text",
+) -> DataFrame:
+    """Append ``out_col: string`` — the inverse of :func:`bpe_encode`:
+    each id maps to its byte sequence under the fitted merges,
+    sequences concatenate, bytes decode as UTF-8. Token BYTES are
+    lossless; the repo's RE2∩Java pre-tokenizer, however, collapses
+    whitespace RUNS (tabs/newlines/double spaces) rather than
+    partitioning the string, so decode(encode(x)) == x byte-for-byte
+    exactly when x's separators are single ASCII spaces, and for any x
+    one encode/decode pass is a FIXED POINT:
+    decode(encode(decode(encode(x)))) == decode(encode(x)).
+
+    The id->bytes table is bounded by vocab_size and lives in the Arrow
+    UDF closure (same shape as the encoder); NULL id arrays decode to
+    NULL, unknown ids raise (a wrong-tokenizer artifact must fail loud,
+    not produce silently corrupt text)."""
+    from pyspark.sql.types import StringType
+
+    vocab = bpe_vocab(merges)
+
+    @F.pandas_udf(StringType())
+    def decode_ids(id_lists):
+        import pandas as pd
+
+        out = []
+        for ids in id_lists:
+            if ids is None:
+                out.append(None)
+                continue
+            out.append(b"".join(vocab[int(i)] for i in ids).decode("utf-8"))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, decode_ids(F.col(ids_col)))
+
+
 def save_merges(path: str, merges: list[tuple[int, int]]) -> None:
     """Persist a fitted tokenizer as a JSON artifact (the merge list IS
     the tokenizer — ranks are positions, ids reconstruct from rank)."""

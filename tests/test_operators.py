@@ -227,6 +227,35 @@ def test_bpe_train_and_encode(spark):
         assert bpe.load_merges(f.name) == merges
 
 
+def test_bpe_decode_roundtrip(spark):
+    """bpe_decode inverts bpe_encode byte-for-byte on single-spaced
+    text (incl. unicode and punctuation adjacency); for arbitrary
+    whitespace one encode/decode pass is a fixed point (the RE2∩Java
+    pre-tokenizer collapses whitespace runs by design); NULL stays
+    NULL and empty stays empty."""
+    from polardbx_tools_spark.operators import bpe
+
+    exact = [
+        (0, "aaab aaab aaab cd cd xyz"),
+        (1, "Hello, world! punctuation-adjacent text."),
+        (2, "unicode: héllo wörld — em-dash and 日本語"),
+        (3, ""),
+        (4, None),
+    ]
+    messy = [(5, "Multi  spaces\tand\ntabs"), (6, "  edge spaces  ")]
+    df = spark.createDataFrame(exact + messy, "doc_id long, text string")
+    merges = bpe.bpe_train(df, vocab_size=300)
+    rt1 = bpe.bpe_decode(bpe.bpe_encode(df, merges), merges, out_col="rt") \
+        .select("doc_id", F.col("rt").alias("text"))
+    got1 = {r["doc_id"]: r["text"] for r in rt1.collect()}
+    for i, t in exact:
+        assert got1[i] == t, (i, t, got1[i])
+    # fixed point: re-encoding the decoded text reproduces it exactly
+    rt2 = bpe.bpe_decode(bpe.bpe_encode(rt1, merges), merges, out_col="rt2")
+    for r in rt2.collect():
+        assert r["rt2"] == r["text"], (r["doc_id"], r["text"], r["rt2"])
+
+
 def test_semantic_dedup_planted_clusters(spark):
     """SemDeDup keep-lowest-id semantics on planted vectors: exact
     semantic dups drop with dup_of = the lowest covering id, distinct
