@@ -1193,12 +1193,40 @@ def _q_dedup_minhash_lsh(spark, sf):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _q_text_tfidf_top_terms(spark, sf):
-    """Per-doc top-5 TF-IDF keywords (text analysis / doc indexing).
-    Rank compares the rounded score, so cross-engine ln() ulp noise
-    cannot flip the ordering; ties break on the term."""
+def _q_text_rank_suite(spark, sf):
+    """Lexical ranking in one labelled-union entry (50-cap
+    consolidation of the former text_tfidf_top_terms slot). Legs, all
+    (leg, a, b, s, rank, v):
+
+    * 'tfidf' — per-doc top-5 TF-IDF keywords (a = doc_id, b = -1,
+      s = term, v = score).
+    * 'bm25' — BM25 top-5 retrieval (operators/retrieval.py, Lucene
+      non-negative idf, k1=1.2 b=0.75) for 8 deterministic queries
+      (first-5-token prefixes of docs 0-7); a = query_id, b = doc_id,
+      s = '', v = score.
+
+    Both legs rank on the ROUNDED score (cross-engine ln() ulps),
+    ties broken deterministically."""
+    from polardbx_tools_spark.operators import retrieval
+
     d = _t(spark, sf, "documents")
-    return text.tf_idf_top_terms(d, k=5)
+    tfl = text.tf_idf_top_terms(d, k=5).select(
+        F.lit("tfidf").alias("leg"),
+        F.col("doc_id").alias("a"), F.lit(-1).cast("long").alias("b"),
+        F.col("term").alias("s"), F.col("rank").cast("int").alias("rank"),
+        F.col("tfidf").alias("v"),
+    )
+    toks5 = F.slice(text.tokens(F.lower(F.col("text"))), 1, 5)
+    q = d.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(toks5, " ").alias("text"),
+    )
+    bm = retrieval.bm25_topk(d, q, k=5).select(
+        F.lit("bm25").alias("leg"),
+        F.col("query_id").alias("a"), F.col("doc_id").alias("b"),
+        F.lit("").alias("s"), F.col("rank"), F.col("score").alias("v"),
+    )
+    return tfl.unionByName(bm)
 
 
 def _q_dedup_incremental(spark, sf):
@@ -1483,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_suite": _q_agg_suite,
         "topk_orders": _q_topk_orders,
         "text_metrics": _q_text_metrics,
-        "text_tfidf_top_terms": _q_text_tfidf_top_terms,
+        "text_rank_suite": _q_text_rank_suite,
         "decontaminate": _q_decontaminate,
         "transcript_documents": _q_transcript_documents,
         "pack_sequences": _q_pack_sequences,
@@ -1886,21 +1914,56 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders)
             WHERE rank <= 20
         """,
-        "text_tfidf_top_terms": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest({_TOKS_L}) AS term FROM documents),
+        "text_rank_suite": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_L} AS tk FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(tk) AS term FROM t),
             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
             dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1),
             n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
             scored AS (
               SELECT tf.doc_id, tf.term,
                      round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df_t), 6) AS tfidf
-              FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-            SELECT doc_id, term, rank, tfidf FROM (
-              SELECT *, row_number() OVER (PARTITION BY doc_id
-                         ORDER BY tfidf DESC, term) AS rank
-              FROM scored)
-            WHERE rank <= 5
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            tfidf_leg AS (
+              SELECT doc_id AS a, CAST(-1 AS BIGINT) AS b, term AS s,
+                     CAST(rank AS INTEGER) AS rank, tfidf AS v
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term) AS rank
+                    FROM scored)
+              WHERE rank <= 5),
+            -- BM25 leg (Lucene non-negative idf, k1=1.2 b=0.75);
+            -- queries = first-5-token prefixes of docs 0-7
+            dlt AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            bstats AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT coalesce(sum(len(tk)), 0) FROM t) * 1.0
+                     / (SELECT count(*) FROM documents) AS avgdl),
+            qterms AS (
+              SELECT doc_id AS query_id, unnest(list_distinct(tk[1:5])) AS term
+              FROM t WHERE doc_id < 8),
+            bmcand AS (
+              SELECT q.query_id, tf.doc_id,
+                     round(sum(
+                       ln((s.n_docs - dfreq.df_t + 0.5)
+                          / (dfreq.df_t + 0.5) + 1)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dlt.dl / s.avgdl))
+                     ), 6) AS score
+              FROM tf
+              JOIN qterms q USING (term)
+              JOIN dfreq USING (term)
+              JOIN dlt ON dlt.doc_id = tf.doc_id
+              CROSS JOIN bstats s
+              GROUP BY 1, 2),
+            bm25_leg AS (
+              SELECT query_id AS a, doc_id AS b, '' AS s,
+                     CAST(rn AS INTEGER) AS rank, score AS v
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rn FROM bmcand)
+              WHERE rn <= 5)
+            SELECT 'tfidf' AS leg, * FROM tfidf_leg
+            UNION ALL SELECT 'bm25' AS leg, * FROM bm25_leg
         """,
         "text_metrics": f"""
             WITH t AS (
