@@ -271,6 +271,9 @@ def start_dedup_stream(
     decontam_n: int = 13,
     contaminated_dir: str | None = None,
     bench_text_col: str | None = None,
+    ppl_ref=None,
+    max_log_ppl: float | None = None,
+    filtered_dir: str | None = None,
 ) -> StreamingQuery:
     """Streaming corpus-curation gate: tail a document directory and
     content-dedup each microbatch against everything accepted so far.
@@ -287,6 +290,19 @@ def start_dedup_stream(
     batch pays only a broadcast hash join. Contaminated ids join the
     replay guard exactly like rejected ids: a replayed batch re-decides
     nothing.
+
+    ``max_log_ppl`` turns on the ingest-time CCNet-style perplexity
+    screen (the streaming shape of run_prepare's ``--max-log-ppl``
+    gate): an add-one bigram LM is fitted ONCE at stream start on
+    ``ppl_ref`` (required, a trusted reference corpus DataFrame) and
+    its two count relations persist for the stream's lifetime; each
+    microbatch is scored (two equi-joins against the cached counts —
+    AQE broadcasts them while the reference vocabulary is small) and
+    docs with mean per-token -log10 probability ABOVE the threshold
+    route to ``filtered_dir`` (required) with their ``log_ppl``, after
+    decontamination but BEFORE any shingling is paid. Featureless
+    (empty) docs carry no evidence and pass through. Filtered ids join
+    the replay guard like rejected/contaminated ones.
 
     ``compact_every_batches=N`` folds the index's per-batch appended
     parquet files every N microbatches into ``compact_target_files``
@@ -355,6 +371,20 @@ def start_dedup_stream(
         ).persist()
         bench_grams.count()
 
+    lm_state = None
+    if max_log_ppl is not None:
+        if ppl_ref is None or filtered_dir is None:
+            raise ValueError("max_log_ppl requires ppl_ref and filtered_dir")
+        from polardbx_tools_spark.operators.lm import lm_fit
+
+        # fitted once for the stream's lifetime; the two count
+        # relations persist so every microbatch pays only the score
+        # joins, never the reference scan
+        uni, bi, consts = lm_fit(ppl_ref, text_col)
+        uni, bi = uni.persist(), bi.persist()
+        uni.count(), bi.count()
+        lm_state = (uni, bi, consts)
+
     reader = spark.readStream.schema(schema).format(fmt)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -384,6 +414,9 @@ def start_dedup_stream(
         if contaminated_dir is not None and _fs_exists(spark, contaminated_dir):
             con_ids = spark.read.parquet(contaminated_dir).select(id_col)
             seen = con_ids if seen is None else seen.unionByName(con_ids)
+        if filtered_dir is not None and _fs_exists(spark, filtered_dir):
+            fil_ids = spark.read.parquet(filtered_dir).select(id_col)
+            seen = fil_ids if seen is None else seen.unionByName(fil_ids)
         if seen is not None:
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
         to_unpersist = []
@@ -407,6 +440,26 @@ def start_dedup_stream(
             )
             batch_df = batch_df.join(
                 contam.select(id_col), on=id_col, how="left_anti"
+            )
+        if lm_state is not None:
+            # perplexity screen after decontamination, before any
+            # shingling cost; empty docs (NULL log_ppl) pass through
+            from polardbx_tools_spark.operators.lm import lm_score
+
+            uni, bi, consts = lm_state
+            bad = (
+                lm_score(batch_df, uni, bi, consts["total"],
+                         consts["vocab"], id_col, text_col)
+                .filter(F.col("log_ppl") > max_log_ppl)
+                .select(id_col, "log_ppl")
+                .persist()
+            )
+            to_unpersist.append(bad)
+            batch_df.join(bad, on=id_col).write.mode("append").parquet(
+                filtered_dir
+            )
+            batch_df = batch_df.join(
+                bad.select(id_col), on=id_col, how="left_anti"
             )
         batch_df = batch_df.persist()
         to_unpersist.append(batch_df)

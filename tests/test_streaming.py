@@ -577,3 +577,77 @@ def test_streaming_gate_decontaminates_at_ingest(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "acc")).count() == 2
     assert spark.read.parquet(str(tmp_path / "rej")).count() == 1
     assert spark.read.parquet(str(tmp_path / "con")).count() == 2
+
+
+def test_streaming_gate_perplexity_screen(spark, tmp_path):
+    """Curation gate with --max-log-ppl semantics: the bigram LM fits
+    ONCE on the reference, each microbatch is scored, and
+    above-threshold docs route to the filtered sink (with log_ppl)
+    BEFORE dedup — they never reach accepted/rejected/the index.
+    Replay with a fresh checkpoint re-decides nothing."""
+    from polardbx_tools_spark.operators import lm
+    from polardbx_tools_spark.streaming import start_dedup_stream
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    ref_text = "the quick brown fox jumps over the lazy dog again and again"
+    ref = spark.createDataFrame(
+        [(100 + i, ref_text) for i in range(3)], "doc_id long, text string")
+    fluent = "the quick brown fox jumps over the lazy dog"
+    gibberish = "zxq wvv qqj xxk zzl pqm nrr ssb ttc uud"
+    b1 = [(1, fluent + " first extra words"),
+          (2, gibberish),
+          (3, fluent + " first extra words tail")]  # near-dup of 1
+    b2 = [(6, gibberish + " more"), (7, fluent + " completely other close")]
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "incoming")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    # threshold = midpoint between the fluent and gibberish scores
+    # under the SAME LM the gate will fit
+    probe = spark.createDataFrame(b1 + b2, schema)
+    sc = {r["doc_id"]: r["log_ppl"]
+          for r in lm.lm_perplexity(probe, ref).collect()}
+    thr = (max(sc[1], sc[3], sc[7]) + min(sc[2], sc[6])) / 2
+    assert max(sc[1], sc[3], sc[7]) < thr < min(sc[2], sc[6])
+
+    kw = dict(
+        index_path=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+        rejected_dir=str(tmp_path / "rej"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        # 0.8: doc 3 (superset of doc 1, jaccard ~0.91) must reject,
+        # doc 7 (shares only the fluent prefix, ~0.54) must pass
+        verify_threshold=0.8,
+        max_files_per_trigger=1,
+        ppl_ref=ref,
+        max_log_ppl=thr,
+        filtered_dir=str(tmp_path / "fil"),
+    )
+    q = start_dedup_stream(spark, src, schema, **kw)
+    q.awaitTermination(180)
+
+    acc = spark.read.parquet(str(tmp_path / "acc"))
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    fil = spark.read.parquet(str(tmp_path / "fil"))
+    assert sorted(r["doc_id"] for r in fil.collect()) == [2, 6]
+    assert fil.filter(F.col("log_ppl") <= thr).count() == 0
+    assert sorted(r["doc_id"] for r in acc.collect()) == [1, 7]
+    assert sorted(r["doc_id"] for r in rej.collect()) == [3]
+    hs_ids = {r["id"] for r in
+              spark.read.parquet(str(tmp_path / "idx") + "/hs").collect()}
+    assert hs_ids == {1, 7}
+
+    # replay: filtered ids are in the guard too — nothing re-decided
+    kw2 = dict(kw, checkpoint_dir=str(tmp_path / "ckpt2"),
+               max_files_per_trigger=2)
+    q2 = start_dedup_stream(spark, src, schema, **kw2)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "acc")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "rej")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "fil")).count() == 2

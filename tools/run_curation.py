@@ -11,7 +11,8 @@ band index:
         --rejected <dir> --checkpoint <dir> \
         [--threshold 0.5] [--hashes 32] [--bands 8] \
         [--max-files-per-trigger N] [--follow] \
-        [--benchmark <eval-parquet> --contaminated <dir> [--decontam-n 13]]
+        [--benchmark <eval-parquet> --contaminated <dir> [--decontam-n 13]] \
+        [--ppl-ref <ref-parquet> --max-log-ppl 4.0 --filtered <dir>]
 
 `--follow` keeps tailing (production); without it the job drains what
 exists and exits (backfill). Both modes share the same gate, index, and
@@ -70,6 +71,15 @@ def main() -> None:
     ap.add_argument("--bench-text-col", default=None,
                     help="text column in the benchmark table (defaults "
                          "to --text-col)")
+    ap.add_argument("--ppl-ref", default=None,
+                    help="trusted reference parquet for the ingest-time "
+                         "CCNet perplexity screen (text mode)")
+    ap.add_argument("--max-log-ppl", type=float, default=None,
+                    help="route docs with mean per-token -log10 prob "
+                         "above this to --filtered before dedup")
+    ap.add_argument("--filtered", default=None,
+                    help="sink dir for perplexity-filtered docs "
+                         "(required with --max-log-ppl)")
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing instead of drain-and-exit")
     args = ap.parse_args()
@@ -123,9 +133,12 @@ def main() -> None:
         return
     if args.benchmark and not args.contaminated:
         ap.error("--benchmark requires --contaminated")
+    if args.max_log_ppl is not None and not (args.ppl_ref and args.filtered):
+        ap.error("--max-log-ppl requires --ppl-ref and --filtered")
     benchmark = (
         spark.read.parquet(args.benchmark) if args.benchmark else None
     )
+    ppl_ref = spark.read.parquet(args.ppl_ref) if args.ppl_ref else None
     schema = StructType([
         StructField(args.id_col, LongType()),
         StructField(args.text_col, StringType()),
@@ -150,6 +163,9 @@ def main() -> None:
         decontam_n=args.decontam_n,
         contaminated_dir=args.contaminated,
         bench_text_col=args.bench_text_col,
+        ppl_ref=ppl_ref,
+        max_log_ppl=args.max_log_ppl,
+        filtered_dir=args.filtered,
     )
     q.awaitTermination()
     if not args.follow:
@@ -162,9 +178,13 @@ def main() -> None:
         con = spark.read.parquet(args.contaminated).count() \
             if args.contaminated and _fs_exists(spark, args.contaminated) \
             else 0
+        fil = spark.read.parquet(args.filtered).count() \
+            if args.filtered and _fs_exists(spark, args.filtered) else 0
         msg = f"done: {acc} accepted, {rej} rejected"
         if args.benchmark:
             msg += f", {con} contaminated"
+        if args.max_log_ppl is not None:
+            msg += f", {fil} filtered"
         print(msg)
 
 
