@@ -1406,6 +1406,30 @@ def _q_dedup_spans(spark, sf):
     return prof.unionByName(rem)
 
 
+_DSIR_W_CACHE: dict = {}
+
+
+def _dsir_weights_shared(spark, sf):
+    """ONE persisted DSIR weight relation per (session, sf_dir): the
+    'dsir' and 'sel' legs both consume it, and without sharing each
+    leg re-hashes every corpus n-gram (the md5 bucket hash is the
+    dominant cost). Subset fit: the target is the in-corpus reference
+    slice, so both count relations come from a single explode pass
+    (dsir_fit_subset). Keyed by applicationId like
+    _minhash_pairs_shared."""
+    key = (spark.sparkContext.applicationId, sf)
+    hit = _DSIR_W_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = _t(spark, sf, "documents")
+    ratios, consts = dsir.dsir_fit_subset(
+        d, F.col("doc_id") % 7 != 0, n_buckets=4096
+    )
+    w = dsir.dsir_weights(d, ratios, consts).persist()
+    _DSIR_W_CACHE[key] = w
+    return w
+
+
 def _q_quality_suite(spark, sf):
     """LM quality scoring AND importance-resampled data selection in one
     labelled-union entry (50-cap consolidation of the former
@@ -1434,8 +1458,7 @@ def _q_quality_suite(spark, sf):
         F.col("n_tokens").cast("int").alias("n"),
         F.round("log_ppl", 4).alias("v"),
     )
-    ratios, consts = dsir.dsir_fit(ref, d, n_buckets=4096)
-    w = dsir.dsir_weights(d, ratios, consts)
+    w = _dsir_weights_shared(spark, sf)
     dw = w.select(
         F.lit("dsir").alias("leg"), "doc_id",
         F.col("n_feats").alias("n"), F.round("log_w", 4).alias("v"),

@@ -76,8 +76,14 @@ def hashed_ngram_buckets(
 
 
 def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+    from .similarity import _widen_scan
+
+    # widen below the explode: the per-feature md5 bucket hash is the
+    # compute, and a one-split parquet would serialize it on one core
+    # (no-op at real scale — see _widen_scan)
     return (
-        df.select(
+        _widen_scan(df.select(text_col))
+        .select(
             F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket")
         )
         .groupBy("bucket")
@@ -98,8 +104,11 @@ def dsir_fit(
     carries the two feature totals and the OOV log-ratio every bucket
     absent from BOTH relations receives (add-one smoothing makes it a
     nonzero constant, not an error)."""
-    tc = _bucket_counts(target, text_col, n_buckets)
-    rc = _bucket_counts(raw, text_col, n_buckets)
+    # persist the <= n_buckets-row count relations so the totals
+    # collect and the ratios join share ONE hashing pass per corpus
+    # (without it each downstream job re-explodes and re-md5s)
+    tc = _bucket_counts(target, text_col, n_buckets).persist()
+    rc = _bucket_counts(raw, text_col, n_buckets).persist()
     t_total = int(
         tc.select(F.coalesce(F.sum("n"), F.lit(0))).first()[0]
     )
@@ -130,6 +139,63 @@ def dsir_fit(
     }
 
 
+def dsir_fit_subset(
+    raw: DataFrame,
+    is_target,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[DataFrame, dict]:
+    """One-pass :func:`dsir_fit` for the common shape where the target
+    is a SUBSET of the raw pool (an in-corpus reference slice): both
+    bucket-count relations derive from a single feature explode with a
+    per-row target flag (``is_target`` is a boolean Column over
+    ``raw``'s columns), halving the hashing passes and collect jobs.
+    Same smoothing, same result as dsir_fit(raw.filter(is_target), raw)
+    — a target-only bucket cannot exist under the subset premise."""
+    import math
+
+    from .similarity import _widen_scan
+
+    base = _widen_scan(
+        raw.select(is_target.cast("int").alias("_is_t"), F.col(text_col))
+    )
+    counts = (
+        base.select(
+            "_is_t",
+            F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rn"), F.sum("_is_t").alias("tn"))
+        # persisted (<= n_buckets rows): the totals collect below
+        # materializes it, so the ratios projection never re-runs the
+        # corpus explode + md5 hashing
+        .persist()
+    )
+    row = counts.agg(
+        F.coalesce(F.sum("rn"), F.lit(0)).alias("rt"),
+        F.coalesce(F.sum("tn"), F.lit(0)).alias("tt"),
+    ).first()
+    r_total, t_total = int(row["rt"]), int(row["tt"])
+    td = float(t_total + n_buckets)
+    rd = float(r_total + n_buckets)
+    ratios = counts.select(
+        "bucket",
+        (
+            F.log10((F.coalesce("tn", F.lit(0)) + 1) / F.lit(td))
+            - F.log10((F.col("rn") + 1) / F.lit(rd))
+        ).alias("log_ratio"),
+    )
+    oov = math.log10(1.0 / td) - math.log10(1.0 / rd)
+    return ratios, {
+        "target_total": t_total,
+        "raw_total": r_total,
+        "n_buckets": n_buckets,
+        "oov_log_ratio": oov,
+    }
+
+
 def dsir_weights(
     docs: DataFrame,
     ratios: DataFrame,
@@ -143,7 +209,9 @@ def dsir_weights(
     they carry no evidence either way and are excluded by
     :func:`dsir_select`. The ratios join is broadcast (<= n_buckets
     rows); the only corpus-sized shuffle is the per-doc sum."""
-    feats = docs.select(
+    from .similarity import _widen_scan
+
+    feats = _widen_scan(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode_outer(
             hashed_ngram_buckets(F.col(text_col), consts["n_buckets"])

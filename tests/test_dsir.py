@@ -85,6 +85,23 @@ def test_dsir_bigrams_distinguish_word_order(spark):
     assert w[9]["log_w"] > w[10]["log_w"]
 
 
+def test_dsir_fit_subset_equals_two_pass_fit(spark):
+    """dsir_fit_subset(raw, cond) must reproduce
+    dsir_fit(raw.filter(cond), raw) exactly — same consts, same
+    per-bucket ratios, same downstream weights."""
+    d = _docs(spark)
+    cond = F.col("doc_id").isin(1, 3)
+    r1, c1 = dsir.dsir_fit(d.filter(cond), d, n_buckets=512)
+    r2, c2 = dsir.dsir_fit_subset(d, cond, n_buckets=512)
+    assert c1 == c2
+    rows1 = {r["bucket"]: r["log_ratio"] for r in r1.collect()}
+    rows2 = {r["bucket"]: r["log_ratio"] for r in r2.collect()}
+    assert rows1 == rows2
+    w1 = sorted(dsir.dsir_weights(d, r1, c1).collect())
+    w2 = sorted(dsir.dsir_weights(d, r2, c2).collect())
+    assert w1 == w2
+
+
 def test_dsir_select_deterministic_and_excludes_featureless(spark):
     d = _docs(spark)
     target = d.filter(F.col("doc_id").isin(1, 3))
