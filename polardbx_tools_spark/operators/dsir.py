@@ -29,8 +29,9 @@ Physical shape at 100 TB: fit is two map-side-combinable hash-groupBys
 whose RESULT is <= n_buckets rows; ``bucket_log_ratios`` is broadcast;
 scoring shuffles only (id, partial-sum); selection ranks a NARROW
 (key, id) relation with TakeOrderedAndProject and semi-joins the k ids
-back — k rows of 16 bytes on one node, fine to ~10^8; beyond that pass
-``threshold`` (e.g. from approxQuantile on the key relation) instead.
+back — k rows of 16 bytes on one node, fine to ~10^8; beyond that use
+:func:`select_above` with a threshold (e.g. from approxQuantile on the
+key relation) — a pure per-row filter, no global merge.
 
 Reference analog: none — engine addition for the LLM-data pipeline
 (the data-SELECTION sibling of lm.lm_perplexity's quality filter).
@@ -294,6 +295,30 @@ def select_top_k(
             Window.orderBy(F.col("_key").desc(), F.col(id_col))
         ).cast("int"),
     ).drop("_key")
+
+
+def select_above(
+    weights: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    gumbel: bool = True,
+) -> DataFrame:
+    """(id, log_w) rows whose selection key clears ``threshold`` — the
+    pure-filter scale path when k is too large to merge on one node
+    (pick the threshold from e.g. approxQuantile over the key). No
+    rank, no global sort: a per-row predicate the optimizer pushes
+    down."""
+    key = (
+        gumbel_key(F.col("log_w"), F.col(id_col), seed)
+        if gumbel
+        else F.col("log_w")
+    )
+    return (
+        weights.filter(F.col("log_w").isNotNull())
+        .filter(key >= threshold)
+        .select(id_col, "log_w")
+    )
 
 
 def dsir_select(

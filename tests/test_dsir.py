@@ -130,6 +130,27 @@ def test_dsir_select_seed_changes_sample_not_support(spark):
     assert len(picked) >= 2
 
 
+def test_dsir_select_above_matches_top_k_cut(spark):
+    """The threshold scale path must agree with the ranked path: using
+    the k-th selected key as the threshold returns exactly the top-k
+    id set (no global sort needed)."""
+    d = _docs(spark)
+    target = d.filter(F.col("doc_id").isin(1, 3))
+    ratios, consts = dsir.dsir_fit(target, d, n_buckets=512)
+    w = dsir.dsir_weights(d, ratios, consts)
+    top = dsir.select_top_k(w, k=3, seed=7).collect()
+    keys = {
+        r["doc_id"]: r["k"]
+        for r in w.filter(F.col("log_w").isNotNull()).select(
+            "doc_id", dsir.gumbel_key(F.col("log_w"), F.col("doc_id"), 7).alias("k")
+        ).collect()
+    }
+    ids_ranked = {r["doc_id"] for r in top}
+    thr = min(keys[i] for i in ids_ranked)
+    got = {r["doc_id"] for r in dsir.select_above(w, thr, seed=7).collect()}
+    assert got == ids_ranked
+
+
 def test_dsir_argmax_selection_orders_by_weight(spark):
     """gumbel=False is pure argmax: ranks follow log_w descending."""
     d = _docs(spark)
