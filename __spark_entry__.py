@@ -2431,7 +2431,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, lw,
                      lw - log10(-ln(
                        (('0x' || substr(md5(doc_id || ':7'), 1, 8))::BIGINT
-                        + 1.0) / 4294967296.0)) AS key
+                        + 0.5) / 4294967296.0)) AS key
               FROM dw WHERE lw IS NOT NULL),
             dsel AS (
               SELECT doc_id, CAST(rn AS INTEGER) AS n, round(lw, 4) AS v

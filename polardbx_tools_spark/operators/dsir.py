@@ -235,15 +235,15 @@ def gumbel_key(
     log_w: Column, id_col: Column, seed: int = 0
 ) -> Column:
     """Deterministic Gumbel-perturbed key: log_w + g where
-    g = -log10(-ln u) and u = md5-bucket(id:seed)/2^32 in (0, 1].
+    g = -log10(-ln u) and u = (md5-bucket(id:seed) + 0.5)/2^32.
 
     Ranking by this key top-k IS Gumbel-top-k resampling (sampling
     without replacement proportional to w) with a seeded, engine-neutral
     noise source; u is an exact dyadic rational so both engines start
-    the log chain from the identical double. u=0 is impossible (md5 of
-    a nonempty string), u=1 maps to +inf noise only when the 8 hex
-    chars are all f — then ln(1)=0 and the key is +infinity in both
-    engines, still a total order with the id tie-break."""
+    the log chain from the identical double. The half-step keeps u
+    STRICTLY inside (0, 1): u=0 (ln undefined) and u=1 (ln u = 0, where
+    Spark's log10(0) is NULL but DuckDB's is -inf — a cross-engine
+    divergence) are both unreachable for any hash value."""
     u = (
         F.conv(
             F.substring(
@@ -254,7 +254,7 @@ def gumbel_key(
             16,
             10,
         ).cast("double")
-        + 1.0
+        + 0.5
     ) / F.lit(4294967296.0)
     return log_w - F.log10(-F.log(u))
 
