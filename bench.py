@@ -528,7 +528,9 @@ def write_bench_md(legs: dict, eff: float, queries: dict,
         "with duplicates and out-of-order timestamps, mid-stream `tool` "
         "schema evolution. Identical input bytes for every leg; each leg is "
         "a fresh JVM subprocess (the sandbox stand-in for `spark-submit "
-        "--py-files` at one cluster size); best of N runs.",
+        "--py-files` at one cluster size); best of N runs (the max leg "
+        f"best-of-{HEADLINE_ROUNDS}, every sample in BENCH_FULL.json "
+        "`headline_rounds`).",
         "",
         "| leg | wall (s) | events/sec | final rows |",
         "|---|---|---|---|",
