@@ -13,6 +13,8 @@ packing:
         [--max-dup-line-frac 0.3] [--max-top-2gram-frac 0.18] \
         [--lang en] [--min-quality 0.5] \
         [--max-log-ppl 4.0 [--ppl-ref <ref-parquet>]] \
+        [--clf-pos <parquet> --clf-neg <parquet> --min-clf 0.5 \
+         [--clf-buckets 10000] [--clf-iters 30]] \
         [--redact-pii email,phone,ssn,ipv4] \
         [--benchmark <eval-parquet>] [--ngram 13] \
         [--select-target <parquet> --select-k N [--select-seed 0] \
@@ -31,7 +33,12 @@ most target-like docs land in ``--selected`` (default
 ``<accepted>_selected``) with log_w/sel_rank columns.
 Rejected rows carry the FIRST failing gate in ``reason``
 (``c4`` → ``repetition`` → ``lang`` → ``quality`` → ``perplexity`` →
-``contaminated``); the perplexity gate is CCNet-style (bigram LM fitted
+``classifier`` → ``contaminated``); the classifier gate TRAINS the
+fasttext-style hashed-n-gram logistic model (operators/classifier.py,
+the GPT-3 Wikipedia-vs-CC component) on ``--clf-pos``/``--clf-neg`` and
+rejects docs scoring below ``--min-clf`` — training is shuffle-free
+gradient-partial jobs, scoring one broadcast join on the same single
+pass; the perplexity gate is CCNet-style (bigram LM fitted
 on ``--ppl-ref``, or on the input itself when omitted) and, like
 decontamination, adds only per-doc score joins to the single pass;
 accepted rows carry the (optionally cleaned + PII-redacted) text with
@@ -73,6 +80,16 @@ def main() -> None:
     ap.add_argument("--max-log-ppl", type=float, default=None,
                     help="reject docs with mean per-token -log10 prob "
                          "above this under the bigram LM")
+    ap.add_argument("--clf-pos", default=None,
+                    help="positive (high-quality) corpus parquet for the "
+                         "trained-classifier gate")
+    ap.add_argument("--clf-neg", default=None,
+                    help="negative (low-quality) corpus parquet")
+    ap.add_argument("--min-clf", type=float, default=None,
+                    help="reject docs whose trained-classifier P(positive) "
+                         "is below this")
+    ap.add_argument("--clf-buckets", type=int, default=10000)
+    ap.add_argument("--clf-iters", type=int, default=30)
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet; overlapping docs are rejected")
     ap.add_argument("--ngram", type=int, default=13)
@@ -155,6 +172,24 @@ def main() -> None:
             F.coalesce(F.col("log_ppl") > args.max_log_ppl, F.lit(False)),
         )
         fails.append(("perplexity", F.col("_f_perplexity")))
+    if args.min_clf is not None:
+        if not (args.clf_pos and args.clf_neg):
+            ap.error("--min-clf requires --clf-pos and --clf-neg")
+        from polardbx_tools_spark.operators import classifier
+
+        cw, cconsts = classifier.quality_fit(
+            spark.read.parquet(args.clf_pos),
+            spark.read.parquet(args.clf_neg),
+            text_col=txc, n_buckets=args.clf_buckets, iters=args.clf_iters,
+        )
+        cs = classifier.quality_score(
+            docs, cw, cconsts, id_col=idc, text_col=txc
+        ).select(idc, "quality_score")
+        scored = scored.join(cs, on=idc, how="left").withColumn(
+            "_f_classifier",
+            F.coalesce(F.col("quality_score") < args.min_clf, F.lit(False)),
+        )
+        fails.append(("classifier", F.col("_f_classifier")))
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         flags = text.decontaminate(
