@@ -158,6 +158,47 @@ def quality_fit(
     }
 
 
+def save_model(weights: DataFrame, consts: dict, path: str) -> None:
+    """Persist a trained model as a JSON artifact (bucket->w map +
+    consts) — the <= n_buckets weight relation is artifact-sized by
+    construction, the same way the BPE merges ride bpe.save_merges.
+    Loadable by any engine; losses ride along for provenance."""
+    import json
+
+    rows = weights.collect()
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "bias": consts["bias"],
+                "n_buckets": consts["n_buckets"],
+                "n_docs": consts["n_docs"],
+                "losses": consts.get("losses", []),
+                "w": {str(r["bucket"]): r["w"] for r in rows},
+            },
+            f,
+        )
+
+
+def load_model(spark, path: str) -> tuple[DataFrame, dict]:
+    """Inverse of :func:`save_model`: returns (weights, consts) in the
+    exact shape :func:`quality_score` consumes."""
+    import json
+
+    with open(path) as f:
+        art = json.load(f)
+    weights = spark.createDataFrame(
+        [(int(b), float(w)) for b, w in art["w"].items()],
+        "bucket long, w double",
+    )
+    return weights, {
+        "bias": art["bias"],
+        "n_buckets": art["n_buckets"],
+        "n_docs": art["n_docs"],
+        "losses": art.get("losses", []),
+    }
+
+
 def quality_score(
     docs: DataFrame,
     weights: DataFrame,

@@ -114,6 +114,26 @@ def test_all_featureless_raises(spark):
         classifier.quality_fit(empty, empty, n_buckets=16, iters=1)
 
 
+def test_model_artifact_roundtrip(spark, fitted, tmp_path):
+    """save_model/load_model: reloaded weights+consts score every doc
+    bit-identically to the in-memory fit."""
+    pos, _, weights, consts = fitted
+    p = str(tmp_path / "clf.json")
+    classifier.save_model(weights, consts, p)
+    w2, c2 = classifier.load_model(spark, p)
+    assert c2["bias"] == consts["bias"] and c2["n_docs"] == consts["n_docs"]
+    assert c2["losses"] == consts["losses"]
+    orig = {
+        r["doc_id"]: r["quality_score"]
+        for r in classifier.quality_score(pos, weights, consts).collect()
+    }
+    reload = {
+        r["doc_id"]: r["quality_score"]
+        for r in classifier.quality_score(pos, w2, c2).collect()
+    }
+    assert orig == reload
+
+
 def test_score_plan_is_jvm_side_broadcast(spark, fitted):
     pos, _, weights, consts = fitted
     plan = classifier.quality_score(pos, weights, consts)._jdf.queryExecution().executedPlan().toString()

@@ -13,8 +13,9 @@ packing:
         [--max-dup-line-frac 0.3] [--max-top-2gram-frac 0.18] \
         [--lang en] [--min-quality 0.5] \
         [--max-log-ppl 4.0 [--ppl-ref <ref-parquet>]] \
-        [--clf-pos <parquet> --clf-neg <parquet> --min-clf 0.5 \
-         [--clf-buckets 10000] [--clf-iters 30]] \
+        [--min-clf 0.5 [--clf-model <json>] | \
+         [--clf-pos <parquet> --clf-neg <parquet> \
+          [--clf-buckets 10000] [--clf-iters 30] [--clf-save <json>]]] \
         [--redact-pii email,phone,ssn,ipv4] \
         [--benchmark <eval-parquet>] [--ngram 13] \
         [--select-target <parquet> --select-k N [--select-seed 0] \
@@ -38,7 +39,9 @@ fasttext-style hashed-n-gram logistic model (operators/classifier.py,
 the GPT-3 Wikipedia-vs-CC component) on ``--clf-pos``/``--clf-neg`` and
 rejects docs scoring below ``--min-clf`` — training is shuffle-free
 gradient-partial jobs, scoring one broadcast join on the same single
-pass; the perplexity gate is CCNet-style (bigram LM fitted
+pass; ``--clf-save`` persists the fitted weights as a JSON artifact and
+``--clf-model`` loads one instead of refitting (train once, score many
+corpora — the tokenizer-artifact pattern); the perplexity gate is CCNet-style (bigram LM fitted
 on ``--ppl-ref``, or on the input itself when omitted) and, like
 decontamination, adds only per-doc score joins to the single pass;
 accepted rows carry the (optionally cleaned + PII-redacted) text with
@@ -90,6 +93,11 @@ def main() -> None:
                          "is below this")
     ap.add_argument("--clf-buckets", type=int, default=10000)
     ap.add_argument("--clf-iters", type=int, default=30)
+    ap.add_argument("--clf-model", default=None,
+                    help="load a saved classifier artifact instead of "
+                         "fitting (see --clf-save)")
+    ap.add_argument("--clf-save", default=None,
+                    help="save the fitted classifier artifact here")
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet; overlapping docs are rejected")
     ap.add_argument("--ngram", type=int, default=13)
@@ -173,15 +181,22 @@ def main() -> None:
         )
         fails.append(("perplexity", F.col("_f_perplexity")))
     if args.min_clf is not None:
-        if not (args.clf_pos and args.clf_neg):
-            ap.error("--min-clf requires --clf-pos and --clf-neg")
         from polardbx_tools_spark.operators import classifier
 
-        cw, cconsts = classifier.quality_fit(
-            spark.read.parquet(args.clf_pos),
-            spark.read.parquet(args.clf_neg),
-            text_col=txc, n_buckets=args.clf_buckets, iters=args.clf_iters,
-        )
+        if args.clf_model:
+            cw, cconsts = classifier.load_model(spark, args.clf_model)
+        else:
+            if not (args.clf_pos and args.clf_neg):
+                ap.error("--min-clf requires --clf-model, or "
+                         "--clf-pos and --clf-neg")
+            cw, cconsts = classifier.quality_fit(
+                spark.read.parquet(args.clf_pos),
+                spark.read.parquet(args.clf_neg),
+                text_col=txc, n_buckets=args.clf_buckets,
+                iters=args.clf_iters,
+            )
+            if args.clf_save:
+                classifier.save_model(cw, cconsts, args.clf_save)
         cs = classifier.quality_score(
             docs, cw, cconsts, id_col=idc, text_col=txc
         ).select(idc, "quality_score")
