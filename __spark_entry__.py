@@ -1448,6 +1448,13 @@ def _q_quality_suite(spark, sf):
     * 'sel' — the Gumbel-top-64 resampled selection (seed 7,
       deterministic md5 noise); n = selection rank, v = the winner's
       log weight.
+    * 'clf' — the TRAINED quality classifier (operators/classifier.py,
+      the GPT-3 Wikipedia-vs-CC component): hashed-n-gram logistic
+      regression fitted pos=even-ids vs neg=odd-ids with iters=1, which
+      is closed-form (zero init => p=0.5 everywhere, so the single GD
+      step's per-bucket gradient is a pure aggregate of (0.5-y)/len
+      over the same feature bag the DSIR legs hash) — fully
+      SQL-replayable; n = feature count, v = P(positive).
 
     Integer-ratio probabilities replay exactly in SQL; round(4)
     absorbs summation-order ulps."""
@@ -1467,7 +1474,19 @@ def _q_quality_suite(spark, sf):
         F.lit("sel").alias("leg"), "doc_id",
         F.col("sel_rank").alias("n"), F.round("log_w", 4).alias("v"),
     )
-    return ppl.unionByName(dw).unionByName(sel)
+    from polardbx_tools_spark.operators import classifier
+
+    cw, cc = classifier.quality_fit(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        n_buckets=4096, iters=1,
+    )
+    clf = classifier.quality_score(d, cw, cc).select(
+        F.lit("clf").alias("leg"), "doc_id",
+        F.col("n_feats").alias("n"),
+        F.round("quality_score", 4).alias("v"),
+    )
+    return ppl.unionByName(dw).unionByName(sel).unionByName(clf)
 
 
 def _q_bpe_tokenize(spark, sf):
@@ -2437,10 +2456,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, CAST(rn AS INTEGER) AS n, round(lw, 4) AS v
               FROM (SELECT doc_id, lw, row_number() OVER (
                           ORDER BY key DESC, doc_id) AS rn FROM dkey)
-              WHERE rn <= 64)
+              WHERE rn <= 64),
+            -- trained-classifier leg (operators/classifier.py, iters=1
+            -- closed form): zero init => p=0.5 for every doc, so the
+            -- single GD step (lr=5, L2 no-op at w=0) is w_j =
+            -- -lr/n_docs * sum over bucket occurrences of (0.5-y)/len;
+            -- score = sigmoid(mean bucket weight + bias)
+            cr AS (
+              SELECT doc_id, count(*) AS len,
+                     CASE WHEN doc_id % 2 = 0 THEN -0.5 ELSE 0.5 END AS r
+              FROM feat GROUP BY doc_id),
+            cn AS (SELECT count(*) AS n, sum(r) AS gb FROM cr),
+            cwt AS (
+              SELECT f, -5.0 * sum(cr.r / cr.len) / (SELECT n FROM cn) AS w
+              FROM feat JOIN cr USING (doc_id) GROUP BY f),
+            cs AS (
+              SELECT feat.doc_id, count(*) AS nf,
+                     1.0 / (1.0 + exp(-(sum(cwt.w) / count(*)
+                        - 5.0 * (SELECT gb FROM cn) / (SELECT n FROM cn)
+                     ))) AS p
+              FROM feat JOIN cwt USING (f) GROUP BY feat.doc_id),
+            clf AS (
+              SELECT d.doc_id, CAST(coalesce(s.nf, 0) AS INTEGER) AS n,
+                     round(s.p, 4) AS v
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN cs s USING (doc_id))
             SELECT 'ppl' AS leg, * FROM ppl
             UNION ALL SELECT 'dsir' AS leg, * FROM dsir
             UNION ALL SELECT 'sel' AS leg, * FROM dsel
+            UNION ALL SELECT 'clf' AS leg, * FROM clf
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
