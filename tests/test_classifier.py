@@ -52,6 +52,45 @@ def test_separates_planted_classes(spark, fitted):
     assert min(sp.values()) > max(sn.values())
 
 
+def test_label_swap_symmetry(spark, fitted):
+    """Swapping pos/neg negates the model to ulps: per-term r' = -r at
+    iters=1 (zero init makes every margin exactly 0), but the swapped
+    union feeds the SAME buckets in a different row order (pos docs now
+    second), so sums reassociate — and beyond iters=1,
+    sigmoid(-m) + sigmoid(m) == 1 is not an IEEE identity either. The
+    symmetry is a tight-tolerance property, not bit equality."""
+    pos, neg, weights, consts = fitted
+    p1, c1 = classifier.quality_fit(
+        pos, neg, n_buckets=N_BUCKETS, iters=1, lr=5.0, l2=1e-4
+    )
+    n1, cn1 = classifier.quality_fit(
+        neg, pos, n_buckets=N_BUCKETS, iters=1, lr=5.0, l2=1e-4
+    )
+    assert cn1["bias"] == pytest.approx(-c1["bias"], rel=1e-12)
+    assert cn1["losses"] == pytest.approx(c1["losses"], rel=1e-12)  # log(2)
+    pw = {r["bucket"]: r["w"] for r in p1.collect()}
+    nw = {r["bucket"]: r["w"] for r in n1.collect()}
+    assert nw == pytest.approx({b: -w for b, w in pw.items()}, rel=1e-12)
+
+    w2, c2 = classifier.quality_fit(
+        neg, pos, n_buckets=N_BUCKETS, iters=20, lr=5.0, l2=1e-4
+    )
+    assert c2["bias"] == pytest.approx(-consts["bias"], rel=1e-9)
+    assert c2["losses"] == pytest.approx(consts["losses"], rel=1e-9)
+    orig = {r["bucket"]: r["w"] for r in weights.collect()}
+    swap = {r["bucket"]: r["w"] for r in w2.collect()}
+    assert swap == pytest.approx({b: -w for b, w in orig.items()}, rel=1e-9)
+    sp = {
+        r["doc_id"]: r["quality_score"]
+        for r in classifier.quality_score(pos, weights, consts).collect()
+    }
+    sp2 = {
+        r["doc_id"]: r["quality_score"]
+        for r in classifier.quality_score(pos, w2, c2).collect()
+    }
+    assert sp2 == pytest.approx({k: 1.0 - v for k, v in sp.items()}, rel=1e-9)
+
+
 def test_loss_decreases(fitted):
     losses = fitted[3]["losses"]
     assert len(losses) == 20
