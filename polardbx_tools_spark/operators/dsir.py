@@ -21,9 +21,11 @@ number exactly:
 * add-one smoothing per bucket (paper: unsmoothed MLE over buckets both
   corpora touch) — every probability is a ratio of integers, so both
   engines compute bit-identical doubles before the final log10.
-* the Gumbel noise is DETERMINISTIC: u = md5-bucket(id:seed) / 2^32,
-  g = -log10(-ln u) (base-10-scaled Gumbel, matching the base-10 log
-  weights) — reproducible across engines, runs, and partitionings.
+* the Gumbel noise is DETERMINISTIC: u = (md5-bucket(id:seed) + 0.5)
+  / 2^32 (the half-step keeps u strictly inside (0,1) — see
+  :func:`gumbel_key`), g = -log10(-ln u) (base-10-scaled Gumbel,
+  matching the base-10 log weights) — reproducible across engines,
+  runs, and partitionings.
 
 Physical shape at 100 TB: fit is two map-side-combinable hash-groupBys
 whose RESULT is <= n_buckets rows; ``bucket_log_ratios`` is broadcast;

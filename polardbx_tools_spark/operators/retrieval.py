@@ -69,9 +69,12 @@ def bm25_topk(
         F.count("*").alias("tf"), F.max("dl").alias("dl")
     )
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
-    stats = corpus.agg(
+    # N / avgdl come from the SAME widened tokenized relation — a
+    # corpus.agg over tokens(...) would re-tokenize the whole corpus in
+    # a second (unwidened, single-split-serialized) pass
+    stats = base.agg(
         F.count("*").alias("n_docs"),
-        (F.coalesce(F.sum(F.size(tokens(F.lower(F.col(text_col))))), F.lit(0))
+        (F.coalesce(F.sum(F.size("_t")), F.lit(0))
          / F.count("*")).alias("avgdl"),
     )
     qterms = queries.select(

@@ -35,9 +35,11 @@ similarity — the CLI only composes them):
 ``--split T,V`` appends ``leakage_safe_split`` over the detected
 duplicate clusters (T% train / V% val / rest test, decided per CLUSTER
 so near-duplicates can never straddle an eval boundary); kept rows gain
-a ``split`` column. For ``semantic`` the cover edges (dup_of -> id) are
-first closed into components with ``duplicate_clusters`` so chained
-covers land in one cluster.
+a ``split`` column (integral id columns only — the split hash is
+integer arithmetic). For ``semantic`` the cover edges (dup_of -> id)
+are first closed into components with ``duplicate_clusters`` so chained
+covers land in one cluster and every removed row's ``dup_of`` names the
+KEPT canonical (the component min id), never a removed intermediate.
 
 Outputs: ``--kept`` gets every surviving document (all input columns
 [+ ``split``]); ``--removed`` (optional) gets every dropped document
@@ -95,6 +97,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     idc, txc = args.id_col, args.text_col
     docs = spark.read.parquet(args.input)
+    if args.split:
+        # leakage_safe_split's engine-neutral hash is integer arithmetic
+        # on the cluster id; a string id would cast to NULL (every row
+        # 'test') or throw under ANSI — fail loud instead
+        id_type = docs.schema[idc].dataType.simpleString()
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise SystemExit(
+                f"--split requires an integral --id-col "
+                f"({idc} is {id_type}); hash string ids to int64 first"
+            )
 
     # ---- detect: produce (id, dup_of) + a (doc_id, cluster_id) relation
     if args.method in ("exact", "normalized"):
@@ -155,14 +167,25 @@ def main() -> None:
         sd = similarity.semantic_dedup(
             docs, dim=dim, tau=args.tau, n_clusters=args.cells,
             id_col=idc, vec_col=args.vec_col, seed=args.seed,
-        )
-        verdict = sd.select(idc, "dup_of")
-        # cover edges may chain (dup_of can itself be covered); close
-        # them into components so the split never straddles a chain
+        ).persist()
+        # cover edges chain (dup_of can itself be covered: A covers B,
+        # B covers C, A doesn't cover C); close them into components so
+        # dup_of always names the KEPT canonical — the component min,
+        # which nothing lower covers — and the split never straddles a
+        # chain
         edges = sd.filter(F.col("dup_of").isNotNull()).select(
             F.col("dup_of").alias("id_a"), F.col(idc).alias("id_b")
         )
         comp = dedup.duplicate_clusters(edges)
+        verdict = (
+            sd.select(idc, "dup_of")
+            .join(comp.withColumnRenamed("doc_id", idc), on=idc, how="left")
+            .select(
+                idc,
+                F.when(F.col("dup_of").isNotNull(),
+                       F.col("cluster_id")).alias("dup_of"),
+            )
+        )
         clusters = (
             sd.select(F.col(idc).alias("doc_id"))
             .join(comp, on="doc_id", how="left")

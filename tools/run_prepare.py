@@ -28,7 +28,11 @@ broadcast eval-gram join (the corpus side never shuffles its text).
 ``--remove-dup-spans W`` prepends ExactSubstr removal (one corpus
 inventory shuffle; non-canonical duplicated W-token window covers are
 cut before any gate sees the text; removed-token total rides the
-summary). ``--select-target``/``--select-k`` appends DSIR importance
+summary). Docs that lost nothing keep their ORIGINAL text — line
+structure intact for the c4/duplicate-line rules; docs that DID lose a
+span ship the single-space token rebuild (the removal is
+token-granular, so their newline structure is gone — the line-based
+gates see them as one line). ``--select-target``/``--select-k`` appends DSIR importance
 resampling (arXiv:2302.03169) over the ACCEPTED pool — the Gumbel-top-k
 most target-like docs land in ``--selected`` (default
 ``<accepted>_selected``) with log_w/sel_rank columns.
@@ -39,9 +43,13 @@ fasttext-style hashed-n-gram logistic model (operators/classifier.py,
 the GPT-3 Wikipedia-vs-CC component) on ``--clf-pos``/``--clf-neg`` and
 rejects docs scoring below ``--min-clf`` — training is shuffle-free
 gradient-partial jobs, scoring one broadcast join on the same single
-pass; ``--clf-save`` persists the fitted weights as a JSON artifact and
-``--clf-model`` loads one instead of refitting (train once, score many
-corpora — the tokenizer-artifact pattern); the perplexity gate is CCNet-style (bigram LM fitted
+pass; ``--clf-save`` persists the fitted weights as a JSON artifact
+(works standalone — pos/neg + ``--clf-save`` with no ``--min-clf``
+trains and saves without gating) and ``--clf-model`` loads one instead
+of refitting (train once, score many corpora — the tokenizer-artifact
+pattern); the perplexity, classifier, and decontamination gates all
+judge the SAME post-cleaning text the job ships, never the raw input
+column; the perplexity gate is CCNet-style (bigram LM fitted
 on ``--ppl-ref``, or on the input itself when omitted) and, like
 decontamination, adds only per-doc score joins to the single pass;
 accepted rows carry the (optionally cleaned + PII-redacted) text with
@@ -118,6 +126,9 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
 
+    if bool(args.select_target) != bool(args.select_k):
+        ap.error("--select-target and --select-k must be given together")
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -135,10 +146,21 @@ def main() -> None:
             docs, window=args.remove_dup_spans, id_col=idc, text_col=txc
         ).select(
             F.col(idc),
-            F.col("text").alias(txc),
+            F.col("text").alias("_spantext"),
             F.col("n_removed").alias("_span_removed"),
         )
-        docs = docs.drop(txc).join(cleaned, on=idc, how="inner")
+        # the rebuild is single-space joined — keep the ORIGINAL text
+        # (line structure intact for the c4/dup-line gates) for the
+        # overwhelming majority of docs that lost nothing
+        docs = docs.join(cleaned, on=idc, how="inner").withColumn(
+            txc,
+            F.when(F.col("_span_removed") > 0, F.col("_spantext"))
+            .otherwise(F.col(txc)),
+        ).drop("_spantext")
+        # the span pipeline (corpus inventory shuffle + per-doc rebuild)
+        # is the job's dominant stage; later gates (lm fit, classifier,
+        # decontamination) each materialize docs — compute it once
+        docs = docs.persist()
         span_removed_col = F.col("_span_removed")
 
     cur = F.col(txc)
@@ -168,37 +190,46 @@ def main() -> None:
         F.round(text.quality_score(cur), 2).alias("quality"),
         *[cond.alias(f"_f_{name}") for name, cond in fails],
     )
+    # every relational gate below judges the SAME text the job ships
+    # (post-span-removal, post-c4) — scoring the raw column would let a
+    # c4-removed boilerplate line reject a doc whose shipped text is fine
+    gate_docs = docs.select(F.col(idc), cur.alias(txc))
     if args.max_log_ppl is not None:
         from polardbx_tools_spark.operators import lm
 
-        ref = spark.read.parquet(args.ppl_ref) if args.ppl_ref else docs
-        ppl = lm.lm_perplexity(docs, ref, id_col=idc, text_col=txc).select(
-            idc, "log_ppl"
-        )
+        ref = (spark.read.parquet(args.ppl_ref) if args.ppl_ref
+               else gate_docs)
+        ppl = lm.lm_perplexity(
+            gate_docs, ref, id_col=idc, text_col=txc
+        ).select(idc, "log_ppl")
         scored = scored.join(ppl, on=idc, how="left").withColumn(
             "_f_perplexity",
             F.coalesce(F.col("log_ppl") > args.max_log_ppl, F.lit(False)),
         )
         fails.append(("perplexity", F.col("_f_perplexity")))
-    if args.min_clf is not None:
+    if args.min_clf is not None or args.clf_save:
         from polardbx_tools_spark.operators import classifier
 
-        if args.clf_model:
+        cw = cconsts = None
+        if args.min_clf is not None and args.clf_model:
             cw, cconsts = classifier.load_model(spark, args.clf_model)
-        else:
-            if not (args.clf_pos and args.clf_neg):
-                ap.error("--min-clf requires --clf-model, or "
-                         "--clf-pos and --clf-neg")
+        elif args.clf_pos and args.clf_neg:
             cw, cconsts = classifier.quality_fit(
                 spark.read.parquet(args.clf_pos),
                 spark.read.parquet(args.clf_neg),
                 text_col=txc, n_buckets=args.clf_buckets,
                 iters=args.clf_iters,
             )
-            if args.clf_save:
+            if args.clf_save:  # train-once artifact; gating optional
                 classifier.save_model(cw, cconsts, args.clf_save)
+        elif args.min_clf is not None:
+            ap.error("--min-clf requires --clf-model, or "
+                     "--clf-pos and --clf-neg")
+        else:
+            ap.error("--clf-save requires --clf-pos and --clf-neg")
+    if args.min_clf is not None:
         cs = classifier.quality_score(
-            docs, cw, cconsts, id_col=idc, text_col=txc
+            gate_docs, cw, cconsts, id_col=idc, text_col=txc
         ).select(idc, "quality_score")
         scored = scored.join(cs, on=idc, how="left").withColumn(
             "_f_classifier",
@@ -208,7 +239,7 @@ def main() -> None:
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         flags = text.decontaminate(
-            docs, bench, n=args.ngram, text_col=txc, id_col=idc
+            gate_docs, bench, n=args.ngram, text_col=txc, id_col=idc
         ).select(idc, "contaminated")
         scored = scored.join(flags, on=idc, how="left")
         fails.append(
@@ -246,6 +277,7 @@ def main() -> None:
     summary = {"accepted": stats.pop("accepted", 0), "rejected": stats}
     if args.remove_dup_spans:
         summary["span_tokens_removed"] = int(sum(r["sr"] or 0 for r in agg))
+        docs.unpersist()
     scored.unpersist()
 
     if args.select_k and args.select_target:
