@@ -1589,6 +1589,10 @@ _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
     "'\\s+', ' ', 'g'))"
 )
+# text.fingerprint: normalized-content md5, falling back to the RAW
+# text hash when normalization erases the doc (\w is ASCII in Java and
+# RE2 alike, so fully non-Latin docs normalize to '')
+_FP = f"CASE WHEN {_NORM} <> '' THEN md5({_NORM}) ELSE md5(text) END"
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 # the GPT-2-ish pre-tokenizer pattern, SQL-quoted (Java regex ∩ RE2 —
 # DuckDB's RE2 and Spark's Java regex match it identically)
@@ -2023,7 +2027,7 @@ def oracle_sql() -> dict[str, str]:
                                generate_series(1, len({_TOKS_L}) - 1),
                                i -> {_TOKS_L}[i] || ' ' || {_TOKS_L}[i + 1])
                           ELSE [] END AS g2,
-                     md5({_NORM}) AS fp
+                     {_FP} AS fp
               FROM documents)
             SELECT doc_id,
                    CASE WHEN n_chars > 0 AND n_ascii * 1.0 / n_chars < 0.8
@@ -2273,7 +2277,7 @@ def oracle_sql() -> dict[str, str]:
                    'exact' AS kind
             FROM documents GROUP BY 1
             UNION ALL
-            SELECT md5({_NORM}) AS content_hash,
+            SELECT {_FP} AS content_hash,
                    min(doc_id) AS canonical_id,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    'normalized' AS kind

@@ -42,9 +42,16 @@ MIN_PAIR_COUNT = 2
 
 
 def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, n) over GPT-2-style pre-tokens — one explode + hash-groupBy."""
+    """(word, n) over GPT-2-style pre-tokens — one explode + hash-groupBy.
+
+    The regex pre-tokenize is the compute; widen below the explode so a
+    one-split parquet doesn't serialize it on one core (no-op at real
+    scale — see similarity._widen_scan)."""
+    from .similarity import _widen_scan
+
     return (
-        df.select(
+        _widen_scan(df.select(text_col))
+        .select(
             F.explode(text.bpe_regex_tokens(F.col(text_col))).alias("word")
         )
         .groupBy("word")
@@ -193,7 +200,11 @@ def bpe_encode(
 
         return pd.Series(out)
 
-    return df.withColumn(
+    from .similarity import _widen_scan
+
+    # the Arrow encode UDF is the compute — widen so a one-split scan
+    # doesn't run it on one core (no-op at real scale)
+    return _widen_scan(df).withColumn(
         out_col, encode_tokens(text.bpe_regex_tokens(F.col(text_col)))
     )
 

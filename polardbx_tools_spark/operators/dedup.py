@@ -61,9 +61,14 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def normalized_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-exact dedup groups on normalized text (case/punct/ws-insensitive)."""
+    """Near-exact dedup groups on normalized text (case/punct/ws-
+    insensitive). The hash is :func:`text.fingerprint`, which falls back
+    to the raw-text hash when normalization erases the document (fully
+    non-Latin docs) — unrelated docs never share a group."""
+    from .text import fingerprint
+
     return (
-        df.select(F.md5(normalize_text(F.col(text_col))).alias("content_hash"), F.col(id_col))
+        df.select(fingerprint(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),

@@ -35,6 +35,7 @@ def mix_corpora(
     id_col: str = "doc_id",
     token_col: str | None = None,
     seed: int = 0,
+    token_masses: dict[str, float] | None = None,
 ) -> DataFrame:
     """Deterministic weighted mixture of document corpora.
 
@@ -43,6 +44,11 @@ def mix_corpora(
     marks oversampled repeats. Weights are normalized; sources must be
     non-empty. Sampling is per-row on ``xxhash64(source, id, seed)``,
     so membership is stable across runs and cluster sizes.
+
+    ``token_masses`` reuses per-source token totals the caller already
+    aggregated (e.g. to derive temperature/UniMax weights) instead of
+    re-scanning every source — they must have been counted with the
+    same ``token_col``/``text_col`` convention.
     """
     if set(sources) != set(weights):
         raise ValueError("sources and weights must have the same keys")
@@ -64,11 +70,16 @@ def mix_corpora(
         return df.select(id_col, text_col, n.alias("n_tokens"))
 
     prepped = {k: with_tokens(df) for k, df in sources.items()}
-    # bounded: one single-row aggregate per source
-    masses = {
-        k: (df.agg(F.sum("n_tokens")).collect()[0][0] or 0)
-        for k, df in prepped.items()
-    }
+    if token_masses is not None:
+        if set(token_masses) != set(sources):
+            raise ValueError("token_masses keys must match sources")
+        masses = {k: float(t) for k, t in token_masses.items()}
+    else:
+        # bounded: one single-row aggregate per source
+        masses = {
+            k: (df.agg(F.sum("n_tokens")).collect()[0][0] or 0)
+            for k, df in prepped.items()
+        }
     for k, t in masses.items():
         if t <= 0:
             raise ValueError(f"source {k!r} has no tokens")

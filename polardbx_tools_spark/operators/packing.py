@@ -63,7 +63,11 @@ def pack_sequences(
 
     The narrow (id, order, count) relation is persisted for the
     operator's two passes (carry totals + placement) — 24 bytes/doc,
-    spilled to disk if it outgrows memory.
+    spilled to disk if it outgrows memory. It is NOT unpersisted here
+    (the returned DataFrame is lazy and still reads it — same cache
+    lifecycle as ``dedup.minhash_lsh_pairs``): long-lived sessions
+    calling this repeatedly should ``spark.catalog.clearCache()`` after
+    consuming the result.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -331,6 +335,7 @@ def materialize_id_sequences(
     num_partitions: int | None = None,
     keep_ragged_tail: bool = False,
     placement: DataFrame | None = None,
+    pieces: DataFrame | None = None,
 ) -> DataFrame:
     """Loader-grade packed sequences of TOKEN IDS — the exact-BPE twin
     of :func:`materialize_sequences`, consuming the tokenize job's
@@ -341,20 +346,23 @@ def materialize_id_sequences(
     training data loader memory-maps.
 
     Same physical shape as the text materializer: the prefix-sum
-    placement runs once (pass ``placement`` to reuse a persisted one),
-    boundary docs are sliced per spanned sequence, ONE shuffle on
-    ``seq_idx`` groups the pieces, and assembly is
-    ``flatten(sort_array(...))`` — builtin aggregation, no UDF."""
-    cnt = docs.withColumn("_cnt", F.size(F.col(ids_col)))
-    if placement is None:
-        placement = pack_sequences(
-            cnt, budget, id_col=id_col, token_col="_cnt",
-            order_col=order_col, num_partitions=num_partitions,
+    placement runs once (pass ``placement`` to reuse a persisted one;
+    pass ``pieces`` to reuse a shared :func:`_sequence_pieces` relation
+    — e.g. one also feeding :func:`sequence_manifest`), boundary docs
+    are sliced per spanned sequence, ONE shuffle on ``seq_idx`` groups
+    the pieces, and assembly is ``flatten(sort_array(...))`` — builtin
+    aggregation, no UDF."""
+    if pieces is None:
+        cnt = docs.withColumn("_cnt", F.size(F.col(ids_col)))
+        if placement is None:
+            placement = pack_sequences(
+                cnt, budget, id_col=id_col, token_col="_cnt",
+                order_col=order_col, num_partitions=num_partitions,
+            )
+        pieces = _sequence_pieces(
+            cnt, budget, ids_col, id_col, order_col, num_partitions,
+            placement=placement, toks=F.col(ids_col), token_col="_cnt",
         )
-    pieces = _sequence_pieces(
-        cnt, budget, ids_col, id_col, order_col, num_partitions,
-        placement=placement, toks=F.col(ids_col), token_col="_cnt",
-    )
     out = (
         pieces.groupBy("seq_idx")
         .agg(

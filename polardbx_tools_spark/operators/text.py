@@ -339,8 +339,15 @@ def normalize_text(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """128-bit content fingerprint of the normalized text (the engine's
-    ``sqlId``: 16-hex MD5, ref ``Util.java:96-110`` — ours keeps 32 hex)."""
-    return F.md5(normalize_text(col))
+    ``sqlId``: 16-hex MD5, ref ``Util.java:96-110`` — ours keeps 32 hex).
+
+    When normalization erases the whole document (``\\w`` is ASCII in
+    both Java and RE2, so a fully non-Latin doc normalizes to ""), the
+    fingerprint falls back to the RAW text hash — otherwise every such
+    document would share one fingerprint and normalized dedup would
+    collapse the entire non-Latin subset into a single group."""
+    norm = normalize_text(col)
+    return F.when(norm != "", F.md5(norm)).otherwise(F.md5(col))
 
 
 def sql_template_id(col: Column) -> Column:

@@ -543,7 +543,11 @@ def start_dedup_stream(
             # accepted docs; banded first, hs second — the replay guard
             # keys on hs, so a crash between the writes re-derives the
             # batch instead of leaving docs invisible to candidates
-            keep = F.broadcast(accepted.select(F.col(id_col).alias("id")))
+            # no broadcast hint: in backfill mode (availableNow, no file
+            # cap) ONE microbatch can be the whole corpus, and a forced
+            # driver-built broadcast of its id set would OOM — AQE still
+            # broadcasts when the batch is actually small
+            keep = accepted.select(F.col(id_col).alias("id"))
             banded_new.join(keep, on="id").write.mode("append").parquet(
                 f"{idx.path}/banded"
             )
@@ -732,7 +736,11 @@ def start_embedding_dedup_stream(
             )
             rejected.write.mode("append").parquet(rejected_dir)
             accepted.write.mode("append").parquet(accepted_dir)
-            keep = F.broadcast(accepted.select(F.col(id_col).alias("id")))
+            # no broadcast hint: in backfill mode (availableNow, no file
+            # cap) ONE microbatch can be the whole corpus, and a forced
+            # driver-built broadcast of its id set would OOM — AQE still
+            # broadcasts when the batch is actually small
+            keep = accepted.select(F.col(id_col).alias("id"))
             banded_acc = banded_new.join(keep, on="id")
             banded_acc.select("id", "t", "bucket").write.mode(
                 "append"

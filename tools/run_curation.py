@@ -99,6 +99,14 @@ def main() -> None:
         # mode-appropriate defaults: the scales are NOT interchangeable
         args.threshold = 0.9 if args.mode == "embedding" else 0.5
     if args.mode == "embedding":
+        # the text screens don't exist on the embedding gate — reject
+        # loudly instead of starting a stream the operator believes is
+        # decontaminating/perplexity-filtering
+        if args.benchmark or args.contaminated:
+            ap.error("--benchmark/--contaminated are text-mode only")
+        if args.max_log_ppl is not None or args.ppl_ref or args.filtered:
+            ap.error("--max-log-ppl/--ppl-ref/--filtered are "
+                     "text-mode only")
         schema = StructType([
             StructField(args.id_col, LongType()),
             StructField(args.vec_col, ArrayType(FloatType())),

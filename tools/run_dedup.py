@@ -114,8 +114,10 @@ def main() -> None:
             groups = dedup.exact_groups(docs, txc, idc)
             hcol = F.md5(F.col(txc))
         else:
+            from polardbx_tools_spark.operators import text as text_ops
+
             groups = dedup.normalized_groups(docs, txc, idc)
-            hcol = F.md5(dedup.normalize_text(F.col(txc)))
+            hcol = text_ops.fingerprint(F.col(txc))
         verdict = (
             docs.select(F.col(idc), hcol.alias("content_hash"))
             .join(groups.select("content_hash", "canonical_id"),

@@ -91,6 +91,7 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()  # master/conf: spark-submit
     srcs = {k: spark.read.parquet(p) for k, p in paths.items()}
     target_tokens = args.target_tokens
+    masses = None
     if args.weight is not None:
         weights = _kv(args.weight, "weight", float)
         if set(paths) != set(weights):
@@ -128,6 +129,9 @@ def main() -> None:
         id_col=args.id_col,
         token_col=args.token_col,
         seed=args.seed,
+        # already aggregated above when weights were derived — don't
+        # re-scan every source for the identical totals
+        token_masses=masses,
     )
     from pyspark.sql import functions as F
 

@@ -63,8 +63,8 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from polardbx_tools_spark.operators.packing import (
-        materialize_sequences, pack_sequences, packing_stats,
-        sequence_manifest,
+        _sequence_pieces, materialize_sequences, pack_sequences,
+        packing_stats, sequence_manifest,
     )
 
     spark = SparkSession.builder.getOrCreate()  # master/conf: spark-submit
@@ -81,7 +81,7 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         from polardbx_tools_spark.operators.packing import (
-            _sequence_pieces, materialize_id_sequences,
+            materialize_id_sequences,
         )
 
         cnt = docs.withColumn("_cnt", F.size(F.col(args.ids_col)))
@@ -96,31 +96,52 @@ def main() -> None:
         )
     placed.write.mode("overwrite").parquet(args.placement)
     # the derived relations reuse the placement parquet just written —
-    # the prefix sum runs ONCE however many outputs are requested
+    # the prefix sum runs ONCE however many outputs are requested; when
+    # BOTH sequences and manifest are asked for, the (doc x sequence)
+    # piece relation is also derived once and persisted for the pair
     on_disk = spark.read.parquet(args.placement)
+    pieces = None
+    if args.sequences and args.manifest:
+        if args.from_token_ids:
+            pieces = _sequence_pieces(
+                cnt, args.budget, args.ids_col, args.id_col,
+                args.order_col, args.partitions, placement=on_disk,
+                toks=F.col(args.ids_col), token_col="_cnt",
+            ).persist()
+        else:
+            pieces = _sequence_pieces(
+                docs, args.budget, args.text_col, args.id_col,
+                args.order_col, args.partitions, placement=on_disk,
+            ).persist()
     if args.sequences:
         if args.from_token_ids:
             seqs = materialize_id_sequences(
                 docs, args.budget, ids_col=args.ids_col, id_col=args.id_col,
                 order_col=args.order_col, num_partitions=args.partitions,
                 keep_ragged_tail=args.keep_ragged_tail, placement=on_disk,
+                pieces=pieces,
             )
         else:
             seqs = materialize_sequences(
                 docs, args.budget, text_col=args.text_col, id_col=args.id_col,
                 order_col=args.order_col, num_partitions=args.partitions,
                 keep_ragged_tail=args.keep_ragged_tail, placement=on_disk,
+                pieces=pieces,
             )
         seqs.write.mode("overwrite").parquet(args.sequences)
     if args.manifest:
-        if args.from_token_ids:
-            pieces = _sequence_pieces(
-                cnt, args.budget, args.ids_col, args.id_col,
-                args.order_col, args.partitions, placement=on_disk,
-                toks=F.col(args.ids_col), token_col="_cnt",
-            )
+        if pieces is not None:
             man = sequence_manifest(
                 docs, args.budget, id_col=args.id_col, pieces=pieces,
+            )
+        elif args.from_token_ids:
+            man = sequence_manifest(
+                docs, args.budget, id_col=args.id_col,
+                pieces=_sequence_pieces(
+                    cnt, args.budget, args.ids_col, args.id_col,
+                    args.order_col, args.partitions, placement=on_disk,
+                    toks=F.col(args.ids_col), token_col="_cnt",
+                ),
             )
         else:
             man = sequence_manifest(
@@ -129,6 +150,8 @@ def main() -> None:
                 placement=on_disk,
             )
         man.write.mode("overwrite").parquet(args.manifest)
+    if pieces is not None:
+        pieces.unpersist()
     stats = packing_stats(
         spark.read.parquet(args.placement), args.budget
     ).collect()[0].asDict()
