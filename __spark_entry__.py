@@ -1341,8 +1341,12 @@ def _q_ann_pq_topk(spark, sf):
     if idx is None:
         import tempfile
 
+        import atexit
+
+        pq_dir = tempfile.mkdtemp(prefix="pq_index_gate_")
+        atexit.register(shutil.rmtree, pq_dir, ignore_errors=True)
         idx = similarity.PqIndex.fit(
-            spark, tempfile.mkdtemp(prefix="pq_index_gate_"), e,
+            spark, pq_dir, e,
             dim=64, m=8, ks=16,
         )
         _PQ_INDEX_CACHE[key] = idx

@@ -199,6 +199,14 @@ def vacuum(table: LakeTable, grace_seconds: float = 300.0) -> list[str]:
                     continue
                 os.remove(full)
                 removed.append(rel)
-        if not os.listdir(dirpath):
-            shutil.rmtree(dirpath, ignore_errors=True)
+        # the grace window must protect DIRECTORIES too: a concurrent
+        # merge creates its staging dir moments before the part files
+        # land, and an age-blind rmtree of the empty dir would fail that
+        # writer; data_root itself is never removed
+        if dirpath != data_root and not os.listdir(dirpath):
+            try:
+                if os.path.getmtime(dirpath) <= cutoff:
+                    shutil.rmtree(dirpath, ignore_errors=True)
+            except OSError:
+                pass
     return removed

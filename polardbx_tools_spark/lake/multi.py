@@ -84,6 +84,23 @@ def resume_offsets(tables: dict[str, LakeTable]) -> dict[int, int]:
     return out
 
 
+def committed_offsets_filter(ro: dict[int, int]):
+    """Per-row resume predicate column: a row is already applied
+    everywhere when its LSN is <= its source partition's cross-table
+    committed offset; partitions unknown to every table fall to the
+    floor sentinel (replay from the first event). ONE definition shared
+    by the batch loop (:func:`run_multi_table`) and the streaming tail
+    (``start_multi_table_cdc_stream``) so the two resume paths cannot
+    drift."""
+    floor = F.lit(-(1 << 62)).cast("long")
+    if not ro:
+        return floor
+    pairs: list = []
+    for p, lsn in ro.items():
+        pairs += [F.lit(p), F.lit(lsn)]
+    return F.coalesce(F.create_map(*pairs)[F.col(PART_COL)], floor)
+
+
 def apply_multi_table(
     spark: SparkSession,
     tables: dict[str, LakeTable],
@@ -187,16 +204,8 @@ def run_multi_table(
     max_lsn = bounds["hi"]
     if max_lsn is None:
         return []
-    floor = F.lit(-(1 << 62)).cast("long")
     ro = resume_offsets(tables)
-    if ro:
-        pairs: list = []
-        for p, lsn in ro.items():
-            pairs += [F.lit(p), F.lit(lsn)]
-        committed = F.coalesce(F.create_map(*pairs)[F.col(PART_COL)], floor)
-    else:
-        committed = floor
-    todo = changelog.filter(F.col(LSN_COL) > committed)
+    todo = changelog.filter(F.col(LSN_COL) > committed_offsets_filter(ro))
     out: list[MultiApplyStats] = []
     # fast-forward the window cursor past fully-consumed / below-origin
     # LSN space (the CdcPipeline.run resume skip): without this a

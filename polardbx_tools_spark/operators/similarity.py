@@ -142,7 +142,19 @@ def brute_force_topk_np(
     import numpy as np
     from pyspark.sql.window import Window
 
-    q_rows = queries.select(id_col, vec_col).collect()  # small, by contract
+    # small, by contract; NULL query vectors degrade to no rows (the
+    # corpus side already drops them per-row) instead of a ragged
+    # np.array crash, and an empty query set returns an empty result
+    # instead of an AxisError from norm(axis=1) on shape (0,)
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], _pair_score_schema(corpus, id_col, "cosine")
+        )
     q_ids = np.asarray([r[id_col] for r in q_rows])  # keep the input id dtype
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -1129,6 +1141,13 @@ class EmbeddingLshIndex:
         vec_col: str = "embedding",
         threshold: float = 0.4,
     ) -> DataFrame:
+        """(new_id, corpus_id, cosine) near-dups of ``new_df`` vs the
+        indexed corpus. Cache lifecycle: the derived batch relation
+        stays persisted (the lazy result still reads it — same contract
+        as ``dedup.minhash_lsh_pairs``); loop callers should unpersist
+        via ``spark.catalog.clearCache()`` after consuming each batch
+        (the streaming gate inlines this logic with a
+        finally-unpersist for exactly that reason)."""
         from pyspark.storagelevel import StorageLevel
 
         banded_new = self._derive(new_df, id_col, vec_col).persist(
@@ -1414,8 +1433,9 @@ def pq_topk(
     if refine is None:
         refine = 8 * k
     dsub = dim // m
-    rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    rows = (  # NULL vectors carry no fit evidence and would crash list()
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col).limit(sample_rows).collect()
     )
     books = fit_pq_codebooks(
         [list(r[vec_col]) for r in rows], m, ks, seed, n_iters
@@ -1447,9 +1467,14 @@ def pq_topk(
     # because the gate tables carry raw vectors only.
     import numpy as np
 
-    q_rows = sorted(
-        queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
+    q_rows = sorted(  # NULL query vectors degrade to no rows
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull()).collect(),
+        key=lambda r: r[id_col],
     )
+    if not q_rows:  # no-queries wave: empty result, zero jobs
+        id_type = {f.name: f for f in queries.schema.fields}[id_col].dataType
+        return _empty_topk(queries.sparkSession, id_type)
     q_ids, luts, cn2_arr, q_norms = _pq_query_tables(
         q_rows, books, m, ks, dsub, vec_col, id_col
     )
@@ -1557,9 +1582,9 @@ class PqIndex:
         import json
         import os
 
-        rows = (
+        rows = (  # NULLs carry no fit evidence; don't crash the sample
             (sample_df if sample_df is not None else corpus)
-            .select(id_col, vec_col)
+            .select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
             .orderBy(id_col).limit(sample_rows).collect()
         )
         books = fit_pq_codebooks(
@@ -1670,8 +1695,10 @@ class PqIndex:
         if refine is None:
             refine = 8 * k
         m, ks, dsub = self.m, self.ks, self.dim // self.m
-        q_rows = sorted(
-            queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
+        q_rows = sorted(  # NULL query vectors degrade to no rows
+            queries.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull()).collect(),
+            key=lambda r: r[id_col],
         )
         if not q_rows:  # no-queries wave: empty result, zero jobs
             id_type = {f.name: f for f in queries.schema.fields}[id_col].dataType
@@ -1794,9 +1821,9 @@ class IvfPqIndex:
         import json
         import os
 
-        rows = (
+        rows = (  # NULLs carry no fit evidence; don't crash the sample
             (sample_df if sample_df is not None else corpus)
-            .select(id_col, vec_col)
+            .select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
             .orderBy(id_col).limit(sample_rows).collect()
         )
         sample = [list(r[vec_col]) for r in rows]
@@ -1912,8 +1939,10 @@ class IvfPqIndex:
         if refine is None:
             refine = 8 * k
         m, ks, dsub = self.m, self.ks, self.dim // self.m
-        q_rows = sorted(
-            queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
+        q_rows = sorted(  # NULL query vectors degrade to no rows
+            queries.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull()).collect(),
+            key=lambda r: r[id_col],
         )
         if not q_rows:  # no-queries wave: empty result, zero jobs
             id_type = {f.name: f for f in queries.schema.fields}[id_col].dataType

@@ -48,15 +48,20 @@ def start_cdc_stream(
     available_now: bool = True,
     fmt: str = "parquet",
     merge_mode: str | None = None,
+    compact_deltas_over: int | None = None,
+    max_errors: int = 0,
 ) -> StreamingQuery:
     """Tail a changelog directory and MERGE each microbatch into the lake
     table. ``available_now=True`` drains what exists and stops (the test/
     replay mode); ``False`` keeps tailing (the production mode).
     ``merge_mode="mor"`` appends batch-sized delta files per microbatch —
-    the natural mode for a high-frequency tail (pair with periodic
-    ``maintenance.compact``); default copy-on-write."""
+    the natural mode for a high-frequency tail; pair with
+    ``compact_deltas_over=N`` (the delta-pressure trigger
+    ``maintenance.compact_if_needed`` after each microbatch, same knob
+    as ``CdcPipeline.run``) or the tail's read amplification grows
+    without bound. Default copy-on-write."""
     pipe = CdcPipeline(spark, table_path, bucket_count=bucket_count,
-                       merge_mode=merge_mode)
+                       merge_mode=merge_mode, max_errors=max_errors)
     pipe.ensure_table(with_tool="tool" in schema.fieldNames())
 
     reader = spark.readStream.schema(schema).format(fmt)
@@ -66,6 +71,14 @@ def start_cdc_stream(
 
     def apply(batch_df, batch_id: int) -> None:
         pipe.apply_batch(batch_df, batch_id=batch_id)
+        if compact_deltas_over:
+            from polardbx_tools_spark.lake.maintenance import (
+                compact_if_needed,
+            )
+
+            compact_if_needed(
+                spark, pipe.table, max_delta_files=compact_deltas_over
+            )
 
     writer = (
         stream.writeStream.foreachBatch(apply)
@@ -135,6 +148,7 @@ def start_multi_table_cdc_stream(
     from polardbx_tools_spark.lake.merge import LSN_COL, PART_COL
     from polardbx_tools_spark.lake.multi import (
         apply_multi_table,
+        committed_offsets_filter,
         resume_offsets,
     )
     from polardbx_tools_spark.lake.table import LakeTable
@@ -159,14 +173,10 @@ def start_multi_table_cdc_stream(
     def apply(batch_df, batch_id: int) -> None:
         ro = resume_offsets(tables) if assume_ordered else None
         if ro:
-            pairs: list = []
-            for p, lsn in ro.items():
-                pairs += [F.lit(p), F.lit(lsn)]
-            committed = F.coalesce(
-                F.create_map(*pairs)[F.col(PART_COL)],
-                F.lit(-(1 << 62)).cast("long"),
+            # ONE shared resume predicate with run_multi_table
+            batch_df = batch_df.filter(
+                F.col(LSN_COL) > committed_offsets_filter(ro)
             )
-            batch_df = batch_df.filter(F.col(LSN_COL) > committed)
         apply_multi_table(
             spark, tables, batch_df, batch_id=batch_id,
             key_cols=key_cols, schema_col=schema_col,

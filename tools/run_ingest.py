@@ -50,6 +50,11 @@ def main() -> None:
                     help="changelog column naming the destination table "
                          "(with --tables; default 'schema')")
     ap.add_argument("--max-errors", type=int, default=0)
+    ap.add_argument("--on-unknown", choices=("error", "ignore"),
+                    default="error",
+                    help="--tables: unroutable schema values abort the "
+                         "job (error) or are consumed-and-skipped "
+                         "(ignore)")
     ap.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
                     help="cow rewrites touched buckets per batch; mor "
                          "appends batch-sized delta files and merges at "
@@ -72,6 +77,13 @@ def main() -> None:
                          "changelog; see lake/multi.py)")
     if not args.tables and not args.table:
         raise SystemExit("one of --table / --tables is required")
+    # reject knobs a mode cannot honor instead of silently dropping them
+    if args.stream and args.compact_every:
+        raise SystemExit("--compact-every is batch-mode only "
+                         "(--stream supports --compact-deltas-over)")
+    if args.tables and (args.compact_every or args.max_errors):
+        raise SystemExit("--compact-every/--max-errors are single-table "
+                         "only (--tables supports --compact-deltas-over)")
     if args.tables:
         from polardbx_tools_spark.lake.multi import run_multi_table
         from polardbx_tools_spark.lake.table import LakeTable
@@ -97,6 +109,7 @@ def main() -> None:
             spark, tabs, spark.read.parquet(args.changelog),
             batch_lsns=args.batch_lsns, schema_col=args.route_by,
             mode=args.merge_mode, monitor=True,
+            on_unknown=args.on_unknown,
             compact_deltas_over=args.compact_deltas_over,
         )
         applied = sum(
@@ -121,6 +134,8 @@ def main() -> None:
             bucket_count=args.buckets,
             available_now=False,
             merge_mode=args.merge_mode,
+            compact_deltas_over=args.compact_deltas_over,
+            max_errors=args.max_errors,
         )
         q.awaitTermination()
     else:
