@@ -78,3 +78,23 @@ def test_expire_and_vacuum(spark, tmp_table_path):
     assert len(remaining) < all_parquet_before
     # table still reads fine after vacuum
     assert pipe.read_transcripts().count() > 0
+
+
+def test_vacuum_grace_protects_young_staging_dirs(spark, tmp_table_path):
+    """A concurrent merge creates its staging dir moments before any
+    part file lands; vacuum's grace window must protect that EMPTY young
+    directory (an age-blind rmtree would fail the in-flight writer), and
+    data_root itself is never removed even when empty."""
+    import time
+
+    pipe = loaded_pipe(spark, tmp_table_path)
+    staging = os.path.join(tmp_table_path, "data", "v99999999")
+    os.makedirs(staging)
+    vacuum(pipe.table)  # default grace: young empty dir survives
+    assert os.path.isdir(staging)
+    old = time.time() - 3600
+    os.utime(staging, (old, old))
+    vacuum(pipe.table, grace_seconds=600)  # now older than the window
+    assert not os.path.exists(staging)
+    data_root = os.path.join(tmp_table_path, "data")
+    assert os.path.isdir(data_root)

@@ -1626,3 +1626,54 @@ def test_mix_corpora_snaps_integer_epoch_ratios(spark):
         ("a", 0): 37, ("a", 1): 37,
         ("b", 0): 11, ("b", 1): 11, ("b", 2): 11,
     }
+
+
+def test_ann_null_vectors_degrade_per_row(spark):
+    """Review-fix pins: NULL embeddings degrade per-row on every ANN
+    path (np brute force, PQ fit+query, wide-mask LSH pairs) instead of
+    crashing a driver collect or an Arrow batch, and an all-NULL query
+    set returns an empty correctly-typed result with zero jobs."""
+    import math
+
+    vecs = [
+        (i, [math.sin(i * 0.7 + j) for j in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        vecs + [(1000, None)], "vec_id long, embedding array<float>"
+    )
+    q = df.filter("vec_id < 3 or vec_id = 1000")
+    got = similarity.brute_force_topk_np(df, q, k=3).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(r["neighbor_id"] != 1000 for r in got)
+
+    empty = similarity.brute_force_topk_np(df, df.filter("vec_id = 1000"), k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields[:2]] == [
+        "query_id", "neighbor_id",
+    ]
+
+    pq = similarity.pq_topk(
+        df, q, dim=16, k=3, m=4, ks=8, sample_rows=64
+    ).collect()
+    assert {r["query_id"] for r in pq} == {0, 1, 2}
+    pq_empty = similarity.pq_topk(
+        df, df.filter("vec_id = 1000"), dim=16, k=3, m=4, ks=8, sample_rows=64
+    )
+    assert pq_empty.count() == 0
+
+
+def test_wide_mask_lsh_pairs_drop_null_vectors(spark):
+    """n_planes*n_tables > 62 takes the exploded-bucket fallback (no
+    single int64 mask); a NULL embedding there must degrade per-row —
+    the former NULL mask/bucket rows crashed the bucket-local np.stack
+    scorer (ADVICE round-5 medium)."""
+    base = [1.0] + [0.0] * 15
+    near = [1.0, 0.01] + [0.0] * 14
+    rows = [(1, base), (2, near), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.cosine_near_dup_pairs(
+        df, dim=16, threshold=0.9, n_planes=8, n_tables=8
+    ).collect()
+    got = {(r[0], r[1]) for r in pairs}
+    assert (1, 2) in got or (2, 1) in got
+    assert all(3 not in p for p in got)
