@@ -1339,9 +1339,9 @@ def _q_ann_pq_topk(spark, sf):
     key = (spark.sparkContext.applicationId, sf)
     idx = _PQ_INDEX_CACHE.get(key)
     if idx is None:
-        import tempfile
-
         import atexit
+        import shutil
+        import tempfile
 
         pq_dir = tempfile.mkdtemp(prefix="pq_index_gate_")
         atexit.register(shutil.rmtree, pq_dir, ignore_errors=True)
