@@ -193,9 +193,13 @@ def merge_into(
             # line is consumed (ref -maxError skip semantics)
             F.max(LSN_COL).alias("max_lsn"),
             # event-time bounds ride the same pass (rate-factor replay
-            # pacing + monitor delay gauge; ref MonitorThread.java:92-95)
-            F.min(TS_COL).alias("min_ts"),
-            F.max(TS_COL).alias("max_ts"),
+            # pacing + monitor delay gauge; ref MonitorThread.java:92-95).
+            # VALID rows only: a quarantined event's corrupt timestamp
+            # must not hijack pacing (one year-3000 ts would make a
+            # rate-factor run sleep forever on a row that was
+            # consumed-and-skipped)
+            F.min(F.when(valid, F.col(TS_COL))).alias("min_ts"),
+            F.max(F.when(valid, F.col(TS_COL))).alias("max_ts"),
             F.collect_set("_b").alias("buckets"),  # nulls (invalid) excluded
         )
         .collect()
@@ -240,7 +244,7 @@ def merge_into(
 
     # -- 2. additive schema evolution (Iceberg-style ADD COLUMN)
     payload_schema = batch.drop(*CDC_META_COLS).schema
-    new_schema = table.evolved_schema(payload_schema)
+    new_schema = table.evolved_schema(payload_schema, snapshot=snap)
     evolved = new_schema.fieldNames() != snap.schema.fieldNames()
     schema = new_schema if evolved else snap.schema
     payload_cols = [f.name for f in schema.fields if f.name not in BOOKKEEPING_COLS]
@@ -360,6 +364,13 @@ def merge_into(
             pp = F.col(SEQ_PART) == p
             metrics.append(one(is_win & is_src & pp).alias(f"w{p}"))
             metrics.append(one(~is_win & is_src & pp).alias(f"c{p}"))
+    else:
+        # detail off: record UNKNOWN (None), not a silently-wrong 0 —
+        # lineage consumers must not read "0 rows merged" for a batch
+        # that merged thousands with the perf knob disabled
+        for p in parts:
+            stats.per_partition[p]["winners"] = None
+            stats.per_partition[p]["conflicts"] = None
 
     obs = None
     if use_observe:
@@ -377,32 +388,37 @@ def merge_into(
 
     # no second shuffle: rows are already partitioned by (b, salt) and
     # key-sorted from the merge window — the writer fans out to the few
-    # bucket dirs present in each partition, emitting key-sorted files
+    # bucket dirs present in each partition, emitting key-sorted files.
+    # The try/finally covers the WRITE too: on the fallback path a write
+    # failure (OOM, disk full) must still release the persisted merge
+    # plan, or a long-lived driver strands one cache per retried batch.
     writable = ranked.filter(is_win).select(*out_cols, "b")
-    writable.write.partitionBy("b").mode("overwrite").parquet(staging)
-    mark("merge_write")
+    try:
+        writable.write.partitionBy("b").mode("overwrite").parquet(staging)
+        mark("merge_write")
 
-    if use_observe:
-        m = obs.get
-        stats.upserts = int(m["upserts"])
-        stats.deletes = int(m["deletes"])
-        stats.conflicts_resolved = int(m["conflicts"])
-        stats.rows_written = int(m["rows_written_total"])
-        if detail:
-            for p in parts:
-                stats.per_partition[p]["winners"] = int(m[f"w{p}"])
-                stats.per_partition[p]["conflicts"] = int(m[f"c{p}"])
-    else:
-        try:
+        if use_observe:
+            m = obs.get
+            stats.upserts = int(m["upserts"])
+            stats.deletes = int(m["deletes"])
+            stats.conflicts_resolved = int(m["conflicts"])
+            stats.rows_written = int(m["rows_written_total"])
+            if detail:
+                for p in parts:
+                    stats.per_partition[p]["winners"] = int(m[f"w{p}"])
+                    stats.per_partition[p]["conflicts"] = int(m[f"c{p}"])
+        else:
             row = ranked.agg(*metrics).collect()[0].asDict()
             stats.upserts = int(row["upserts"])
             stats.deletes = int(row["deletes"])
             stats.conflicts_resolved = int(row["conflicts"])
             stats.rows_written = int(row["rows_written_total"])
-            for p in parts:
-                stats.per_partition[p]["winners"] = int(row[f"w{p}"])
-                stats.per_partition[p]["conflicts"] = int(row[f"c{p}"])
-        finally:
+            if detail:  # w{p}/c{p} exist only with detail metrics on
+                for p in parts:
+                    stats.per_partition[p]["winners"] = int(row[f"w{p}"])
+                    stats.per_partition[p]["conflicts"] = int(row[f"c{p}"])
+    finally:
+        if not use_observe:
             ranked.unpersist()
 
     # -- 8. collect staged file lists per bucket, commit atomically

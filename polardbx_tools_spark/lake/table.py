@@ -321,14 +321,21 @@ class LakeTable:
 
     # -------------------------------------------------------------- commit
 
-    def evolved_schema(self, incoming_payload: StructType) -> StructType:
+    def evolved_schema(
+        self, incoming_payload: StructType,
+        snapshot: "Snapshot | None" = None,
+    ) -> StructType:
         """Current schema + any new payload fields appended (nullable).
 
         Additive-only: type changes / drops are rejected, mirroring the
         reference's create-only DDL path (``DdlImportWorker.java:188-210``
-        tolerates "already exists" but never alters types).
+        tolerates "already exists" but never alters types). Pass
+        ``snapshot`` to pin an already-read snapshot (same contract as
+        :meth:`bucket_expr`): the merge compares field names against the
+        snapshot it staged under, so evolving against a concurrently
+        flipped pointer would check one schema and commit another.
         """
-        cur = self.snapshot().schema
+        cur = (snapshot or self.snapshot()).schema
         cur_types = {f.name: f.dataType for f in cur.fields}
         out = list(cur.fields)
         for f in incoming_payload.fields:
@@ -385,7 +392,37 @@ class LakeTable:
         ``appended_deltas`` ADDS merge-on-read delta files to buckets
         (write cost ∝ batch, not bucket). REPLACING a bucket clears its
         deltas: a COW rewrite / compaction reads base+deltas merged, so
-        the new base supersedes them."""
+        the new base supersedes them.
+
+        Concurrency: the read-check-write below runs under an exclusive
+        ``flock`` on ``meta/commit.lock``, so two same-host writers (a
+        merge racing a maintenance compact) serialize and the loser gets
+        the ``expected_version`` rejection — without the lock both could
+        pass the check, write the same ``v{N+1}.json`` (the second
+        clobbering the first), and silently LOSE the first commit's
+        files+offsets. The lock is kernel-released on process death (no
+        stale-lock recovery needed) and guards only the tiny
+        read→validate→write window, never Spark jobs. Cross-HOST writers
+        on a shared filesystem are out of scope for this sandbox lake
+        layer (a real deployment's catalog provides that CAS)."""
+        import fcntl
+
+        with open(self._meta_path("commit.lock"), "w") as _lk:
+            fcntl.flock(_lk, fcntl.LOCK_EX)
+            return self._commit_locked(
+                replaced_buckets, offsets_updates, schema, properties,
+                expected_version, appended_deltas,
+            )
+
+    def _commit_locked(
+        self,
+        replaced_buckets: dict[int, list[str]],
+        offsets_updates: dict[int, int],
+        schema: StructType | None,
+        properties: dict[str, str] | None,
+        expected_version: int | None,
+        appended_deltas: dict[int, list[str]] | None,
+    ) -> Snapshot:
         cur = self.snapshot()
         if expected_version is not None and cur.version != expected_version:
             raise RuntimeError(
@@ -428,11 +465,32 @@ class LakeTable:
         rollback generators that invert a refresh round,
         ``worker/tpch/generator/*Rollback*``). Offsets regress with the
         snapshot, so a subsequent run re-applies the rolled-back events
-        idempotently — rollback + replay converges."""
-        if version not in self.snapshots():
-            raise ValueError(f"unknown snapshot v{version}")
-        self._flip_pointer(version)
-        return self.snapshot(version)
+        idempotently — rollback + replay converges.
+
+        Descendant manifests (versions ABOVE the rollback target) are
+        retired to ``v*.json.abandoned-*``: leaving them in place would
+        expose a forked history — ``snapshots()`` would still list the
+        undone versions, time travel would serve their state as valid,
+        ``expire_snapshots`` would never reap them (it only looks below
+        current), and the next commits would silently overwrite them in
+        place under a concurrent reader. Their data files become
+        unreferenced and ``maintenance.vacuum`` reclaims them; the
+        renamed manifests stay on disk for forensics."""
+        import fcntl
+
+        with open(self._meta_path("commit.lock"), "w") as _lk:
+            fcntl.flock(_lk, fcntl.LOCK_EX)
+            if version not in self.snapshots():
+                raise ValueError(f"unknown snapshot v{version}")
+            # flip FIRST (the pointer is the transaction), then retire:
+            # a crash in between leaves abandoned-but-named descendants,
+            # which the next rollback/commit cycle can retire again
+            self._flip_pointer(version)
+            for v in self.snapshots():
+                if v > version:
+                    p = self._meta_path(f"v{v:08d}.json")
+                    os.replace(p, f"{p}.abandoned-{uuid.uuid4().hex[:8]}")
+            return self.snapshot(version)
 
     def incremental_changes(
         self,
@@ -447,7 +505,17 @@ class LakeTable:
         diff per bucket) and filters to sequence numbers above the old
         snapshot's offsets, so cost ∝ change volume, not table size.
         Returns current-schema rows plus ``_change_type``
-        ('upsert' | 'delete')."""
+        ('upsert' | 'delete').
+
+        NET change per key: when the range spans several commits that
+        touched the same key (two COW rewrites of its bucket, or an
+        upsert delta then a delete delta in MOR), the new files carry
+        several generations of that key — only the LAST writer by the
+        merge total order ``(ts, lsn, partition) desc`` is emitted.
+        Without this a consumer that folds the rows in arbitrary order
+        (the sequencing columns are dropped from the output) could
+        resurrect a deleted key or regress an update. The dedup window
+        shuffles change volume only, never the table."""
         old = self.snapshot(from_version)
         new = self.snapshot(to_version)
         old_files = set(old.all_files())
@@ -468,8 +536,17 @@ class LakeTable:
             committed = F.coalesce(F.create_map(*pairs)[F.col(SEQ_PART)], floor)
         else:
             committed = floor
+        from pyspark.sql.window import Window
+
+        key_cols = new.key_cols or [new.bucket_key]
+        w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+            F.col(SEQ_TS).desc(), F.col(SEQ_LSN).desc(), F.col(SEQ_PART).desc()
+        )
         return (
             df.filter(F.col(SEQ_LSN) > committed)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .withColumn(
                 "_change_type",
                 F.when(F.coalesce(F.col(DELETED), F.lit(False)), F.lit("delete"))

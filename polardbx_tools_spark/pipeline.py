@@ -121,7 +121,14 @@ class CdcPipeline:
         # committed offset — an unseen partition's early events would be
         # dropped. The LSN *window* predicate (pushed, verified in the
         # plan audit) does the coarse pruning instead.
-        return df.filter(F.col(LSN_COL) > committed)
+        # NULL-LSN rows pass THROUGH the resume filter (NULL > x is NULL
+        # → filtered): they carry no offset so "already committed" can
+        # never be true of them, and dropping them here would bypass the
+        # quarantine write, the _errors record, and the max_errors gate
+        # on every batch after the first offset commits.
+        return df.filter(
+            (F.col(LSN_COL) > committed) | F.col(LSN_COL).isNull()
+        )
 
     def _split_quarantine(self, df: DataFrame) -> tuple[DataFrame, F.Column]:
         # NULL source_partition / ts are malformed too: such events would
@@ -251,7 +258,14 @@ class CdcPipeline:
                 mode=self.merge_mode,
             )
         except Exception as e:
-            if not fired.is_set():
+            # attribute to the timeout ONLY when the watchdog fired AND
+            # the error is the cancellation it caused — a genuine merge
+            # failure (expected_version conflict, disk full) racing the
+            # watchdog by microseconds must surface as itself, or the
+            # operator retries with a bigger timeout instead of fixing
+            # the real fault (Spark's cancelled-job errors all carry
+            # "cancelled"/"cancel" in their message)
+            if not fired.is_set() or "cancel" not in str(e).lower():
                 raise
             os.makedirs(self._errors_dir, exist_ok=True)
             with open(

@@ -78,3 +78,27 @@ def test_incremental_changes_cost_is_change_proportional(spark, tmp_table_path):
         f for f in inc.inputFiles()
     }
     assert scanned and all(any(nf in s for nf in new_files) for s in scanned)
+
+
+def test_rollback_retires_descendant_snapshots(spark, tmp_table_path):
+    """Rollback must not leave a readable forked history: versions above
+    the rollback target disappear from snapshots() (they would otherwise
+    time-travel to abandoned state, never expire, and be silently
+    overwritten in place by the next commits), while replay still
+    converges to the same final state."""
+    cl = generate_changelog(spark, SPEC)
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=8)
+    pipe.run(cl, batch_lsns=300, with_tool=True)
+    final = normalize(pipe.read_transcripts().toPandas(), PAYLOAD)
+    versions = pipe.table.snapshots()
+    target = versions[-3]
+    pipe.table.rollback(target)
+    assert pipe.table.snapshots() == [v for v in versions if v <= target]
+    import pytest
+
+    with pytest.raises(Exception):
+        pipe.table.read(spark, version=versions[-1]).count()
+    # replay rebuilds the abandoned versions fresh and converges
+    pipe.run(cl, batch_lsns=300, with_tool=True)
+    again = normalize(pipe.read_transcripts().toPandas(), PAYLOAD)
+    pdt.assert_frame_equal(again, final, check_dtype=False)

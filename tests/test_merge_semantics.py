@@ -265,3 +265,98 @@ def test_merge_null_key_rows_null_safe(spark, tmp_table_path):
         ("c1", None): "n2",   # one winner for the NULL key, the later one
         ("c2", None): "m1",
     }
+
+
+def test_null_lsn_quarantined_even_after_offsets_exist(spark, tmp_table_path):
+    """The resume filter must not swallow NULL-LSN rows: they carry no
+    offset (so "already committed" can never hold for them) and must
+    reach quarantine — and the max_errors gate — in EVERY batch, not
+    only the first one, when no offsets existed yet."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4, max_errors=10)
+    pipe.ensure_table(with_tool=True)
+    pipe.apply_batch(make_df(spark, [ev("I", "c1", 0, "ok", 10, 1)]), 0)
+    assert pipe.table.offsets() == {0: 1}  # resume filter now active
+    stats = pipe.apply_batch(make_df(spark, [
+        ev("U", "c1", 0, "v2", 11, 2),
+        ("I", "c2", 0, "u", "t", None, T0, None, 0),  # null lsn
+    ]), 1)
+    assert stats.batch_events == 1 and stats.invalid_events == 1
+    errs = spark.read.parquet(str(tmp_table_path) + "/_errors")
+    assert errs.filter("_error_reason = 'null_lsn'").count() == 1
+
+    strict_path = str(tmp_table_path) + "-strict"
+    strict = CdcPipeline(spark, strict_path, bucket_count=4, max_errors=0)
+    strict.ensure_table(with_tool=True)
+    strict.apply_batch(make_df(spark, [ev("I", "c1", 0, "ok", 10, 1)]), 0)
+    with pytest.raises(RuntimeError, match="maxErrors"):
+        strict.apply_batch(make_df(spark, [
+            ("I", "c2", 0, "u", "t", None, T0, None, 0),
+        ]), 1)
+
+
+def test_quarantined_ts_does_not_poison_event_time_bounds(spark, tmp_table_path):
+    """A quarantined row's corrupt timestamp must not leak into the
+    batch event-time bounds — one bogus year-2524 ts would make a
+    rate-factor replay sleep forever on a consumed-and-skipped row."""
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4, max_errors=10)
+    pipe.ensure_table(with_tool=True)
+    bogus = T0 + dt.timedelta(days=365 * 500)
+    stats = pipe.apply_batch(make_df(spark, [
+        ev("I", "c1", 0, "ok", 10, 1),
+        ("X", "c2", 0, "u", "t", None, bogus, 2, 0),  # invalid op
+        ("X", "c3", 0, "u", "t", None, T0 - dt.timedelta(days=9000), 3, 0),
+    ]), 0)
+    assert stats.invalid_events == 2
+    assert stats.max_ts == T0 + dt.timedelta(seconds=10)
+    assert stats.min_ts == T0 + dt.timedelta(seconds=10)
+
+
+def test_partition_metrics_off_fallback_records_unknown(
+    spark, tmp_table_path, monkeypatch
+):
+    """MERGE_PARTITION_METRICS=0 on the >OBSERVE_PART_LIMIT fallback path
+    must not crash on the absent w{p}/c{p} aggregates, and per-partition
+    lineage must record unknown (null) rather than a silently-wrong 0."""
+    from polardbx_tools_spark.lake import merge as merge_mod
+
+    monkeypatch.setattr(merge_mod, "OBSERVE_PART_LIMIT", 0)  # force fallback
+    monkeypatch.setenv("MERGE_PARTITION_METRICS", "0")
+    pipe = CdcPipeline(spark, tmp_table_path, bucket_count=4)
+    pipe.ensure_table(with_tool=True)
+    stats = pipe.apply_batch(make_df(spark, [
+        ev("I", "c1", 0, "a", 10, 1, part=0),
+        ev("I", "c2", 0, "b", 11, 2, part=1),
+    ]), 0)
+    assert stats.upserts == 2  # batch totals still exact
+    assert all(v["winners"] is None and v["conflicts"] is None
+               for v in stats.per_partition.values())
+    lineage = pipe.table.read_lineage(spark).collect()
+    assert len(lineage) == 2
+    assert all(r["rows_merged"] is None for r in lineage)
+
+
+def test_incremental_changes_multi_commit_net_change(spark, tmp_table_path):
+    """A range spanning several commits that touched the same key emits
+    ONE net row per key (last writer by the merge total order), not one
+    per touched file — contradictory upsert+delete rows with the
+    sequencing columns dropped would let a consumer folding them in
+    arbitrary order resurrect a deleted key."""
+    for mode, suffix in (("cow", "-cow"), ("mor", "-mor")):
+        path = str(tmp_table_path) + suffix
+        pipe = CdcPipeline(spark, path, bucket_count=4, merge_mode=mode)
+        pipe.ensure_table(with_tool=True)
+        v0 = pipe.table.current_version()
+        pipe.apply_batch(make_df(spark, [
+            ev("I", "c1", 0, "a", 10, 1),
+            ev("I", "c2", 0, "x", 10, 2),
+        ]), 0)
+        pipe.apply_batch(make_df(spark, [
+            ev("D", "c1", 0, None, 20, 3),
+            ev("U", "c2", 0, "y", 20, 4),
+        ]), 1)
+        inc = pipe.table.incremental_changes(spark, from_version=v0)
+        rows = {(r["conv_id"], r["turn_idx"]): r for r in inc.collect()}
+        assert len(rows) == 2, f"{mode}: expected one NET row per key"
+        assert rows[("c1", 0)]["_change_type"] == "delete"
+        assert rows[("c2", 0)]["_change_type"] == "upsert"
+        assert rows[("c2", 0)]["text"] == "y"
