@@ -7,11 +7,14 @@ formats that need nothing beyond the standard library + numpy:
 * WAV (RIFF PCM, 8/16/32-bit integer; stdlib ``wave`` rejects
   IEEE-float WAVs) — ``wave`` + numpy frombuffer;
 * BMP (uncompressed 24/32-bit BITMAPINFOHEADER) — manual header parse;
-* PPM (binary ``P6``) — manual header parse.
+* PPM (binary ``P6``) — manual header parse;
+* PNG (non-interlaced 8-bit gray/RGB/palette/gray-alpha/RGBA) —
+  stdlib ``zlib`` inflate + numpy scanline unfiltering, chunk CRCs
+  verified.
 
-JPEG/PNG/MP4 remain deployment-codec territory (``decode_fn`` /
-``resize_fn`` hooks); :func:`sniff` routes by magic bytes so mixed
-corpora degrade per-row, not per-job.
+JPEG/MP4 (and interlaced/16-bit PNG) remain deployment-codec territory
+(``decode_fn`` / ``resize_fn`` hooks); :func:`sniff` routes by magic
+bytes so mixed corpora degrade per-row, not per-job.
 
 Everything here is deterministic (no RNG, no wall clock): the same
 payload always yields the same features, which is what lets the Spark
@@ -26,7 +29,7 @@ import wave
 
 
 def sniff(payload: bytes | None) -> str | None:
-    """Container type from magic bytes: 'wav' | 'bmp' | 'ppm' | None."""
+    """Container type from magic bytes: 'wav'|'bmp'|'ppm'|'png'|None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -35,6 +38,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -186,12 +191,149 @@ def encode_ppm(rgb) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """PNG -> uint8 RGB array [h, w, 3], pure stdlib ``zlib`` + numpy.
+
+    Supports the non-interlaced 8-bit-depth color types (gray, RGB,
+    palette, gray+alpha, RGBA — the output drops alpha, matching the
+    BMP 32-bpp path). Chunk CRCs are verified so a truncated/corrupt
+    body raises (and the multimodal layer degrades that row to the hash
+    fallback instead of aborting the job). Interlaced (Adam7) and
+    16-bit images raise — they remain ``decode_fn`` deployment
+    territory, as JPEG/MP4 do.
+
+    Unfiltering is row-sequential by spec (each scanline's filter reads
+    the reconstructed row above); within a row, filters 0/2 are pure
+    numpy, filter 1 (Sub) is a per-channel cumulative sum mod 256, and
+    filters 3/4 (Average/Paeth) fall back to a per-byte loop only on
+    the rows that actually use them.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr, palette = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1))
+    rows = rows.reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f, line = int(filters[y]), data[y]
+        above = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            recon[y] = line
+        elif f == 2:  # Up
+            recon[y] = line + above  # uint8 wraps, per spec
+        elif f == 1:  # Sub: prefix sum mod 256 per channel lane
+            lanes = line.reshape(-1, bpp).astype(np.uint64)
+            recon[y] = (lanes.cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 3:  # Average
+            out = recon[y]
+            for x in range(stride):
+                left = int(out[x - bpp]) if x >= bpp else 0
+                out[x] = (int(line[x]) + ((left + int(above[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            out = recon[y]
+            for x in range(stride):
+                a = int(out[x - bpp]) if x >= bpp else 0
+                b = int(above[x])
+                c = int(above[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {y}")
+    px = recon.reshape(h, w, channels)
+    if color == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx].copy()
+    if channels == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    if channels == 2:  # gray+alpha: replicate gray, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()  # RGB / RGBA (alpha dropped)
+
+
+def encode_png(rgb) -> bytes:
+    """uint8 RGB array [h, w, 3] -> non-interlaced 8-bit RGB PNG
+    (filter 0 on every scanline — deterministic, no heuristics)."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = a.shape
+    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 1:] = a.reshape(h, w * 3)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes):
     kind = sniff(payload)
     if kind == "bmp":
         return decode_bmp(payload)
     if kind == "ppm":
         return decode_ppm(payload)
+    if kind == "png":
+        return decode_png(payload)
     raise ValueError(f"no stdlib codec for payload (sniffed {kind!r})")
 
 
@@ -212,7 +354,11 @@ def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
     kind = sniff(payload)
     rgb = decode_image(payload)
     out = resize_nearest(rgb, target_w, target_h)
-    return encode_bmp(out) if kind == "bmp" else encode_ppm(out)
+    if kind == "bmp":
+        return encode_bmp(out)
+    if kind == "png":
+        return encode_png(out)
+    return encode_ppm(out)
 
 
 def image_features(payload: bytes, n_bins: int = 5) -> list[float]:
@@ -246,7 +392,7 @@ def feature_vector(payload: bytes | None, dim: int = 8) -> list[float]:
     try:
         if kind == "wav":
             out = wav_features(payload)
-        elif kind in ("bmp", "ppm"):
+        elif kind in ("bmp", "ppm", "png"):
             out = image_features(payload)
     except Exception:
         out = None  # corrupt body behind a valid magic -> fallback

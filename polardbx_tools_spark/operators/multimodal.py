@@ -3,11 +3,12 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark side — schemas, partitioning, batch shapes, UDF signatures —
 is real and tested. The codec inner loop is REAL for the formats the
-standard library can decode — WAV (stdlib ``wave``), BMP and binary PPM
-(manual header parse) via :mod:`.codecs` — and falls back to a
-deterministic hash feature for formats that need external libs
-(JPEG/PNG/MP4): ``decode_fn``/``resize_fn`` hooks accept e.g. a
-PIL/libsndfile-backed implementation in deployment.
+standard library can decode — WAV (stdlib ``wave``), BMP, binary PPM,
+and PNG (stdlib ``zlib`` inflate + numpy unfiltering) via
+:mod:`.codecs` — and falls back to a deterministic hash feature for
+formats that need external libs (JPEG/MP4, interlaced/16-bit PNG):
+``decode_fn``/``resize_fn`` hooks accept e.g. a PIL/libsndfile-backed
+implementation in deployment.
 """
 
 from __future__ import annotations
@@ -95,9 +96,9 @@ def resize_images(
     resize_fn: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Image resize (same schema out): decode -> nearest-neighbor ->
-    re-encode via the stdlib codecs for BMP/PPM payloads; payloads in a
-    format without a stdlib codec raise (never silent garbage) — pass a
-    deployment ``resize_fn`` for JPEG/PNG."""
+    re-encode via the stdlib codecs for BMP/PPM/PNG payloads; payloads
+    in a format without a stdlib codec raise (never silent garbage) —
+    pass a deployment ``resize_fn`` for JPEG."""
     if resize_fn is None:
         from polardbx_tools_spark.operators import codecs
 
@@ -132,10 +133,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
-    """Deterministic fixture with REAL decodable payloads: BMP images
-    (gradient patterns), PCM WAV audio (sine bursts), and opaque bytes
-    for the video rows (no stdlib video codec — the honest fallback
-    path). Generated distributed via mapInPandas, derived only from
+    """Deterministic fixture with REAL decodable payloads: images as
+    BMP (odd media_id) or PNG (even — exercises the zlib+unfilter
+    decode), PCM WAV audio (sine bursts), and opaque bytes for the
+    video rows (no stdlib video codec — the honest fallback path).
+    Generated distributed via mapInPandas, derived only from
     media_id + seed."""
     base = synthetic_media(spark, n, seed)
 
@@ -154,8 +156,12 @@ def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
                         [(xx * rng_a) % 256, (yy * rng_a) % 256,
                          ((xx + yy) * rng_a) % 256], axis=-1
                     ).astype(np.uint8)
-                    payloads.append(codecs.encode_bmp(rgb))
-                    mimes.append("image/bmp")
+                    if int(mid) % 2:
+                        payloads.append(codecs.encode_bmp(rgb))
+                        mimes.append("image/bmp")
+                    else:
+                        payloads.append(codecs.encode_png(rgb))
+                        mimes.append("image/png")
                 elif kind == "audio":
                     t = np.arange(800) / 8000.0
                     payloads.append(codecs.encode_wav(

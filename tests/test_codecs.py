@@ -101,3 +101,120 @@ def test_corrupt_payload_degrades_to_hash_fallback():
         out = codecs.feature_vector(payload, dim=8)
         assert len(out) == 8
         assert out == codecs.feature_vector(payload, dim=8)  # deterministic
+
+# ------------------------------------------------------------------ PNG
+
+def _png_with_filters(im, filters, color=2, palette=None):
+    """Reference PNG writer for fixtures: applies the REQUESTED filter
+    per scanline (forward direction, per the spec's filter definitions),
+    independent of the production encoder (which always emits filter 0)
+    — so decode is tested against spec math, not its own inverse."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    h, w = im.shape[:2]
+    ch = im.shape[2] if im.ndim == 3 else 1
+    flat = im.reshape(h, w * ch).astype(np.int32)
+    lines, prev = [], np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        row, f = flat[y], filters[y % len(filters)]
+        enc = bytearray()
+        for x in range(w * ch):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            pred = (0, a, b, (a + b) // 2, paeth(a, b, c))[f]
+            enc.append((int(row[x]) - pred) & 0xFF)
+        lines.append(bytes([f]) + bytes(enc))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = codecs._PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(b"".join(lines))) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_exact():
+    rgb = _gradient(13, 9)
+    payload = codecs.encode_png(rgb)
+    assert codecs.sniff(payload) == "png"
+    np.testing.assert_array_equal(codecs.decode_png(payload), rgb)
+    np.testing.assert_array_equal(codecs.decode_image(payload), rgb)
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_scanline_filters(filters):
+    rgb = _gradient(11, 7)
+    payload = _png_with_filters(rgb, filters)
+    np.testing.assert_array_equal(codecs.decode_png(payload), rgb)
+
+
+def test_png_color_types():
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (7, 5, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_png(_png_with_filters(gray, [0, 1, 2, 3, 4], color=0)),
+        np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(  # alpha dropped, like BMP 32-bpp
+        codecs.decode_png(_png_with_filters(rgba, [4, 3, 2, 1], color=6)),
+        rgba[:, :, :3])
+    ga = rng.integers(0, 256, (6, 4, 2), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_png(_png_with_filters(ga, [1, 4], color=4)),
+        np.repeat(ga[:, :, :1], 3, axis=2))
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (8, 6, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_png(_png_with_filters(idx, [0], color=3, palette=pal)),
+        pal[idx[:, :, 0]])
+
+
+def test_png_resize_and_features():
+    rgb = _gradient(16, 16)
+    payload = codecs.encode_png(rgb)
+    small = codecs.resize_image(payload, 4, 4)
+    assert codecs.sniff(small) == "png"
+    out = codecs.decode_png(small)
+    assert out.shape == (4, 4, 3)
+    np.testing.assert_array_equal(out[0, 0], rgb[0, 0])
+    f = codecs.feature_vector(payload, dim=8)
+    assert f[:2] == [16.0, 16.0]
+    assert f[2] == pytest.approx(rgb[:, :, 0].mean() / 255.0)
+
+
+def test_png_crc_corruption_degrades_per_row():
+    """A bit flip anywhere in a chunk fails its CRC -> ValueError ->
+    the multimodal feature router takes the hash fallback (per-row
+    degradation contract)."""
+    payload = bytearray(codecs.encode_png(_gradient(8, 8)))
+    payload[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(payload))
+    out = codecs.feature_vector(bytes(payload), dim=8)
+    assert len(out) == 8 and out == codecs.feature_vector(bytes(payload), dim=8)
+
+
+def test_png_interlaced_and_16bit_rejected():
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    for depth, interlace in ((8, 1), (16, 0)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, interlace)
+        p = (codecs._PNG_MAGIC + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            codecs.decode_png(p)

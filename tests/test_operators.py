@@ -460,14 +460,18 @@ def test_embedding_lsh_index_incremental_equals_one_shot(spark, tmp_path):
 
 
 def test_multimodal_real_codecs_end_to_end(spark):
-    """REAL stdlib decode through the distributed path: BMP images and
-    PCM WAV audio rows get real features (dimensions / duration lead
-    the vector), video rows take the deterministic hash fallback, and
-    the default resize round-trips decodable images to the target
-    shape — all inside mapInPandas, no external codec libs."""
+    """REAL stdlib decode through the distributed path: BMP and PNG
+    images and PCM WAV audio rows get real features (dimensions /
+    duration lead the vector), video rows take the deterministic hash
+    fallback, and the default resize round-trips decodable images to
+    the target shape — all inside mapInPandas, no external codec
+    libs."""
     from polardbx_tools_spark.operators import codecs
 
     media = multimodal.synthetic_media_real(spark, n=12)
+    assert {"image/bmp", "image/png"} <= {
+        r["mime"] for r in media.filter("kind = 'image'").collect()
+    }
     rows = {r["media_id"]: r for r in
             multimodal.extract_features(media, feature_dim=8).collect()}
     kinds = {r["media_id"]: r["kind"] for r in media.select("media_id", "kind").collect()}
