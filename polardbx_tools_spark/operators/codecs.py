@@ -10,11 +10,14 @@ formats that need nothing beyond the standard library + numpy:
 * PPM (binary ``P6``) — manual header parse;
 * PNG (non-interlaced 8-bit gray/RGB/palette/gray-alpha/RGBA) —
   stdlib ``zlib`` inflate + numpy scanline unfiltering, chunk CRCs
-  verified.
+  verified;
+* JPEG (baseline sequential DCT, Huffman, 4:4:4/4:2:2/4:2:0, restart
+  markers) — pure numpy, see :mod:`.jpeg`.
 
-JPEG/MP4 (and interlaced/16-bit PNG) remain deployment-codec territory
-(``decode_fn`` / ``resize_fn`` hooks); :func:`sniff` routes by magic
-bytes so mixed corpora degrade per-row, not per-job.
+MP4 (and progressive JPEG, interlaced/16-bit PNG) remains
+deployment-codec territory (``decode_fn`` / ``resize_fn`` hooks);
+:func:`sniff` routes by magic bytes so mixed corpora degrade per-row,
+not per-job.
 
 Everything here is deterministic (no RNG, no wall clock): the same
 payload always yields the same features, which is what lets the Spark
@@ -40,6 +43,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "ppm"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -334,6 +339,10 @@ def decode_image(payload: bytes):
         return decode_ppm(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "jpeg":
+        from polardbx_tools_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"no stdlib codec for payload (sniffed {kind!r})")
 
 
@@ -358,6 +367,10 @@ def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
         return encode_bmp(out)
     if kind == "png":
         return encode_png(out)
+    if kind == "jpeg":
+        from polardbx_tools_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(out)
     return encode_ppm(out)
 
 
@@ -392,7 +405,7 @@ def feature_vector(payload: bytes | None, dim: int = 8) -> list[float]:
     try:
         if kind == "wav":
             out = wav_features(payload)
-        elif kind in ("bmp", "ppm", "png"):
+        elif kind in ("bmp", "ppm", "png", "jpeg"):
             out = image_features(payload)
     except Exception:
         out = None  # corrupt body behind a valid magic -> fallback

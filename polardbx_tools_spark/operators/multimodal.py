@@ -2,13 +2,16 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark side — schemas, partitioning, batch shapes, UDF signatures —
-is real and tested. The codec inner loop is REAL for the formats the
-standard library can decode — WAV (stdlib ``wave``), BMP, binary PPM,
-and PNG (stdlib ``zlib`` inflate + numpy unfiltering) via
+is real and tested. The codec inner loop is REAL for the formats
+numpy + the standard library can decode — WAV (stdlib ``wave``), BMP,
+binary PPM, PNG (stdlib ``zlib`` inflate + numpy unfiltering), and
+baseline JPEG (pure-numpy Huffman+IDCT, :mod:`.jpeg`) via
 :mod:`.codecs` — and falls back to a deterministic hash feature for
-formats that need external libs (JPEG/MP4, interlaced/16-bit PNG):
+the rest (MP4, progressive JPEG, interlaced/16-bit PNG):
 ``decode_fn``/``resize_fn`` hooks accept e.g. a PIL/libsndfile-backed
-implementation in deployment.
+implementation in deployment (also the throughput path for
+media-heavy corpora — the stdlib JPEG entropy decode is
+correctness-grade, not libjpeg-turbo-grade).
 """
 
 from __future__ import annotations
@@ -96,9 +99,9 @@ def resize_images(
     resize_fn: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Image resize (same schema out): decode -> nearest-neighbor ->
-    re-encode via the stdlib codecs for BMP/PPM/PNG payloads; payloads
-    in a format without a stdlib codec raise (never silent garbage) —
-    pass a deployment ``resize_fn`` for JPEG."""
+    re-encode via the stdlib codecs for BMP/PPM/PNG/JPEG payloads;
+    payloads in a format without a stdlib codec raise (never silent
+    garbage) — pass a deployment ``resize_fn`` for video stills."""
     if resize_fn is None:
         from polardbx_tools_spark.operators import codecs
 
@@ -133,12 +136,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
-    """Deterministic fixture with REAL decodable payloads: images as
-    BMP (odd media_id) or PNG (even — exercises the zlib+unfilter
-    decode), PCM WAV audio (sine bursts), and opaque bytes for the
-    video rows (no stdlib video codec — the honest fallback path).
-    Generated distributed via mapInPandas, derived only from
-    media_id + seed."""
+    """Deterministic fixture with REAL decodable payloads: images
+    cycling PNG / BMP / JPEG by media_id (exercising the zlib+unfilter,
+    header-parse, and Huffman+IDCT decoders respectively), PCM WAV
+    audio (sine bursts), and opaque bytes for the video rows (no stdlib
+    video codec — the honest fallback path). Generated distributed via
+    mapInPandas, derived only from media_id + seed."""
     base = synthetic_media(spark, n, seed)
 
     def attach(batches):
@@ -156,12 +159,20 @@ def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
                         [(xx * rng_a) % 256, (yy * rng_a) % 256,
                          ((xx + yy) * rng_a) % 256], axis=-1
                     ).astype(np.uint8)
-                    if int(mid) % 2:
+                    fmt = (int(mid) // 3) % 3  # image ids are 0 mod 3
+                    if fmt == 0:
+                        payloads.append(codecs.encode_png(rgb))
+                        mimes.append("image/png")
+                    elif fmt == 1:
                         payloads.append(codecs.encode_bmp(rgb))
                         mimes.append("image/bmp")
                     else:
-                        payloads.append(codecs.encode_png(rgb))
-                        mimes.append("image/png")
+                        from polardbx_tools_spark.operators.jpeg import (
+                            encode_jpeg,
+                        )
+
+                        payloads.append(encode_jpeg(rgb, quality=90))
+                        mimes.append("image/jpeg")
                 elif kind == "audio":
                     t = np.arange(800) / 8000.0
                     payloads.append(codecs.encode_wav(

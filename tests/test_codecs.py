@@ -87,8 +87,9 @@ def test_feature_vector_routes_by_magic():
 
 
 def test_unsupported_resize_raises():
+    mp4ish = b"\x00\x00\x00\x18ftypmp42 not-a-real-box"
     with pytest.raises(ValueError):
-        codecs.resize_image(b"\xff\xd8\xff\xe0 jpeg-ish", 4, 4)
+        codecs.resize_image(mp4ish, 4, 4)
 
 
 def test_corrupt_payload_degrades_to_hash_fallback():
