@@ -12,7 +12,9 @@ formats that need nothing beyond the standard library + numpy:
   stdlib ``zlib`` inflate + numpy scanline unfiltering, chunk CRCs
   verified;
 * JPEG (baseline sequential DCT, Huffman, 4:4:4/4:2:2/4:2:0, restart
-  markers) — pure numpy, see :mod:`.jpeg`.
+  markers) — pure numpy, see :mod:`.jpeg`;
+* GIF (87a/89a LZW, interlace, transparency; first frame of
+  animations) — pure python/numpy, see :mod:`.gif`.
 
 MP4 (and progressive JPEG, interlaced/16-bit PNG) remains
 deployment-codec territory (``decode_fn`` / ``resize_fn`` hooks);
@@ -45,6 +47,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -343,6 +347,10 @@ def decode_image(payload: bytes):
         from polardbx_tools_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if kind == "gif":
+        from polardbx_tools_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(f"no stdlib codec for payload (sniffed {kind!r})")
 
 
@@ -371,6 +379,10 @@ def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
         from polardbx_tools_spark.operators.jpeg import encode_jpeg
 
         return encode_jpeg(out)
+    if kind == "gif":
+        from polardbx_tools_spark.operators.gif import encode_gif
+
+        return encode_gif(out)
     return encode_ppm(out)
 
 
@@ -405,7 +417,7 @@ def feature_vector(payload: bytes | None, dim: int = 8) -> list[float]:
     try:
         if kind == "wav":
             out = wav_features(payload)
-        elif kind in ("bmp", "ppm", "png", "jpeg"):
+        elif kind in ("bmp", "ppm", "png", "jpeg", "gif"):
             out = image_features(payload)
     except Exception:
         out = None  # corrupt body behind a valid magic -> fallback

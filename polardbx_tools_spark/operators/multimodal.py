@@ -4,10 +4,11 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark side — schemas, partitioning, batch shapes, UDF signatures —
 is real and tested. The codec inner loop is REAL for the formats
 numpy + the standard library can decode — WAV (stdlib ``wave``), BMP,
-binary PPM, PNG (stdlib ``zlib`` inflate + numpy unfiltering), and
-baseline JPEG (pure-numpy Huffman+IDCT, :mod:`.jpeg`) via
-:mod:`.codecs` — and falls back to a deterministic hash feature for
-the rest (MP4, progressive JPEG, interlaced/16-bit PNG):
+binary PPM, PNG (stdlib ``zlib`` inflate + numpy unfiltering),
+baseline JPEG (pure-numpy Huffman+IDCT, :mod:`.jpeg`), and GIF (LZW,
+:mod:`.gif`) via :mod:`.codecs` — and falls back to a deterministic
+hash feature for the rest (MP4, progressive JPEG, interlaced/16-bit
+PNG):
 ``decode_fn``/``resize_fn`` hooks accept e.g. a PIL/libsndfile-backed
 implementation in deployment (also the throughput path for
 media-heavy corpora — the stdlib JPEG entropy decode is
@@ -99,7 +100,7 @@ def resize_images(
     resize_fn: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Image resize (same schema out): decode -> nearest-neighbor ->
-    re-encode via the stdlib codecs for BMP/PPM/PNG/JPEG payloads;
+    re-encode via the stdlib codecs for BMP/PPM/PNG/JPEG/GIF payloads;
     payloads in a format without a stdlib codec raise (never silent
     garbage) — pass a deployment ``resize_fn`` for video stills."""
     if resize_fn is None:
@@ -137,11 +138,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
     """Deterministic fixture with REAL decodable payloads: images
-    cycling PNG / BMP / JPEG by media_id (exercising the zlib+unfilter,
-    header-parse, and Huffman+IDCT decoders respectively), PCM WAV
-    audio (sine bursts), and opaque bytes for the video rows (no stdlib
-    video codec — the honest fallback path). Generated distributed via
-    mapInPandas, derived only from media_id + seed."""
+    cycling PNG / BMP / JPEG / GIF by media_id (exercising the
+    zlib+unfilter, header-parse, Huffman+IDCT, and LZW decoders
+    respectively), PCM WAV audio (sine bursts), and opaque bytes for
+    the video rows (no stdlib video codec — the honest fallback path).
+    Generated distributed via mapInPandas, derived only from
+    media_id + seed."""
     base = synthetic_media(spark, n, seed)
 
     def attach(batches):
@@ -159,20 +161,27 @@ def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
                         [(xx * rng_a) % 256, (yy * rng_a) % 256,
                          ((xx + yy) * rng_a) % 256], axis=-1
                     ).astype(np.uint8)
-                    fmt = (int(mid) // 3) % 3  # image ids are 0 mod 3
+                    fmt = (int(mid) // 3) % 4  # image ids are 0 mod 3
                     if fmt == 0:
                         payloads.append(codecs.encode_png(rgb))
                         mimes.append("image/png")
                     elif fmt == 1:
                         payloads.append(codecs.encode_bmp(rgb))
                         mimes.append("image/bmp")
-                    else:
+                    elif fmt == 2:
                         from polardbx_tools_spark.operators.jpeg import (
                             encode_jpeg,
                         )
 
                         payloads.append(encode_jpeg(rgb, quality=90))
                         mimes.append("image/jpeg")
+                    else:
+                        from polardbx_tools_spark.operators.gif import (
+                            encode_gif,
+                        )
+
+                        payloads.append(encode_gif(rgb))
+                        mimes.append("image/gif")
                 elif kind == "audio":
                     t = np.arange(800) / 8000.0
                     payloads.append(codecs.encode_wav(

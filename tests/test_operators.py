@@ -469,7 +469,7 @@ def test_multimodal_real_codecs_end_to_end(spark):
     from polardbx_tools_spark.operators import codecs
 
     media = multimodal.synthetic_media_real(spark, n=12)
-    assert {"image/bmp", "image/png", "image/jpeg"} <= {
+    assert {"image/bmp", "image/png", "image/jpeg", "image/gif"} <= {
         r["mime"] for r in media.filter("kind = 'image'").collect()
     }
     rows = {r["media_id"]: r for r in
