@@ -6,6 +6,9 @@ formats that need nothing beyond the standard library + numpy:
 
 * WAV (RIFF PCM, 8/16/32-bit integer; stdlib ``wave`` rejects
   IEEE-float WAVs) — ``wave`` + numpy frombuffer;
+* AIFF (big-endian integer PCM; manual FORM/COMM/SSND parse incl. the
+  80-bit extended-float rate) and Sun/NeXT AU (G.711 mu-law + linear
+  8/16/32) — see the audio section;
 * BMP (uncompressed 24/32-bit BITMAPINFOHEADER) — manual header parse;
 * PPM (binary ``P6``) — manual header parse;
 * PNG (non-interlaced 8-bit gray/RGB/palette/gray-alpha/RGBA) —
@@ -49,6 +52,10 @@ def sniff(payload: bytes | None) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return "aiff"
+    if payload[:4] == b".snd":
+        return "au"
     return None
 
 
@@ -93,12 +100,163 @@ def encode_wav(samples, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def wav_features(payload: bytes, n_bins: int = 4) -> list[float]:
-    """Deterministic audio features: [duration_s, rms, zero-cross rate,
-    peak, then ``n_bins`` coarse energy bins over time]."""
+def decode_aiff(payload: bytes):
+    """AIFF (FORM/AIFF, big-endian integer PCM 8/16/32-bit) -> float64
+    samples in [-1, 1]: (samples[n, channels], rate). Parsed manually —
+    the stdlib ``aifc`` module is deprecated-for-removal. AIFF-C
+    (compressed) raises."""
     import numpy as np
 
-    x, rate = decode_wav(payload)
+    try:
+        if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+            raise ValueError("not an AIFF payload")
+        pos, comm, ssnd = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            ln = struct.unpack_from(">I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if cid == b"COMM":
+                nch, nframes, bits = struct.unpack_from(">hIh", body, 0)
+                # sample rate is an 80-bit IEEE 754 extended float
+                exp = struct.unpack_from(">H", body, 8)[0]
+                mant = struct.unpack_from(">Q", body, 10)[0]
+                if exp == 0 and mant == 0:
+                    rate = 0.0
+                else:
+                    rate = mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
+                    if exp & 0x8000:
+                        rate = -rate
+                comm = (nch, nframes, bits, int(round(rate)))
+            elif cid == b"SSND":
+                off = struct.unpack_from(">I", body, 0)[0]
+                ssnd = body[8 + off :]
+            pos += 8 + ln + (ln & 1)  # chunks are even-padded
+        if comm is None or ssnd is None:
+            raise ValueError("AIFF missing COMM/SSND")
+        nch, nframes, bits, rate = comm
+        if nch <= 0 or rate <= 0:
+            raise ValueError("AIFF invalid channel count / rate")
+        if bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
+            x = np.frombuffer(ssnd, np.int8, nframes * nch).astype(np.float64) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(ssnd, ">i2", nframes * nch).astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = (np.frombuffer(ssnd, ">i4", nframes * nch).astype(np.float64)
+                 / 2147483648.0)
+        else:
+            raise ValueError(f"unsupported AIFF bit depth {bits}")
+        return x.reshape(-1, nch), rate
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed AIFF: {e}") from e
+
+
+def encode_aiff(samples, rate: int = 8000) -> bytes:
+    """Float samples in [-1, 1] (1-D or [n, ch]) -> 16-bit BE PCM AIFF."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(">i2")
+    nframes, nch = x.shape
+    # 80-bit extended float for the rate
+    r = float(rate)
+    exp = 16383 + 63
+    mant = int(r)
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    comm = struct.pack(">hIh", nch, nframes, 16) + struct.pack(">HQ", exp, mant)
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+_ULAW_BIAS = 0x84
+
+
+def decode_au(payload: bytes):
+    """Sun/NeXT .au -> float64 samples in [-1, 1]: (samples[n, ch],
+    rate). Encodings: 1 = 8-bit G.711 mu-law, 2 = 8-bit linear, 3 =
+    16-bit linear BE, 5 = 32-bit linear BE."""
+    import numpy as np
+
+    try:
+        if payload[:4] != b".snd":
+            raise ValueError("not an AU payload")
+        off, size, enc, rate, nch = struct.unpack_from(">IIIII", payload, 4)
+        if nch <= 0 or rate <= 0:
+            raise ValueError("AU invalid channel count / rate")
+        data = payload[off : off + size] if size != 0xFFFFFFFF else payload[off:]
+        if enc == 1:  # G.711 mu-law expansion
+            u = ~np.frombuffer(data, np.uint8).astype(np.int64) & 0xFF
+            sign = u & 0x80
+            exp = (u >> 4) & 7
+            mant = u & 0x0F
+            mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+            x = np.where(sign, -mag, mag).astype(np.float64) / 32124.0
+        elif enc == 2:
+            x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+        elif enc == 3:
+            x = np.frombuffer(data, ">i2").astype(np.float64) / 32768.0
+        elif enc == 5:
+            x = np.frombuffer(data, ">i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported AU encoding {enc}")
+        n = (len(x) // nch) * nch
+        return x[:n].reshape(-1, nch), rate
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed AU: {e}") from e
+
+
+def encode_au(samples, rate: int = 8000, mulaw: bool = False) -> bytes:
+    """Float samples in [-1, 1] -> .au (16-bit BE, or 8-bit G.711
+    mu-law with ``mulaw=True``)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if mulaw:
+        pcm = np.clip(np.round(x * 32767.0), -32635, 32635).astype(np.int64)
+        sign = np.where(pcm < 0, 0x80, 0)
+        mag = np.abs(pcm) + _ULAW_BIAS
+        exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int64)
+        mant = (mag >> (exp + 3)) & 0x0F
+        data = (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
+        enc = 1
+    else:
+        data = np.clip(np.round(x * 32767.0), -32768, 32767).astype(">i2").tobytes()
+        enc = 3
+    return struct.pack(">4sIIIII", b".snd", 24, len(data), enc, rate, nch) + data
+
+
+def decode_audio(payload: bytes):
+    """Route by magic: WAV / AIFF / AU -> (samples[n, ch], rate)."""
+    kind = sniff(payload)
+    if kind == "wav":
+        return decode_wav(payload)
+    if kind == "aiff":
+        return decode_aiff(payload)
+    if kind == "au":
+        return decode_au(payload)
+    raise ValueError(f"no stdlib audio codec for payload (sniffed {kind!r})")
+
+
+def wav_features(payload: bytes, n_bins: int = 4) -> list[float]:
+    """Deterministic audio features: [duration_s, rms, zero-cross rate,
+    peak, then ``n_bins`` coarse energy bins over time]. Despite the
+    historical name this routes WAV/AIFF/AU."""
+    import numpy as np
+
+    x, rate = decode_audio(payload)
     mono = x.mean(axis=1)
     n = len(mono)
     if n == 0:
@@ -218,8 +376,20 @@ def decode_png(payload: bytes):
     the reconstructed row above); within a row, filters 0/2 are pure
     numpy, filter 1 (Sub) is a per-channel cumulative sum mod 256, and
     filters 3/4 (Average/Paeth) fall back to a per-byte loop only on
-    the rows that actually use them.
+    the rows that actually use them. Malformed streams always raise
+    ``ValueError`` (struct/zlib/index errors normalized).
     """
+    import zlib
+
+    try:
+        return _decode_png(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, zlib.error) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _decode_png(payload: bytes):
     import zlib
 
     import numpy as np
@@ -415,7 +585,7 @@ def feature_vector(payload: bytes | None, dim: int = 8) -> list[float]:
     kind = sniff(payload)
     out = None
     try:
-        if kind == "wav":
+        if kind in ("wav", "aiff", "au"):
             out = wav_features(payload)
         elif kind in ("bmp", "ppm", "png", "jpeg", "gif"):
             out = image_features(payload)

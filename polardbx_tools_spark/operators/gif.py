@@ -133,7 +133,20 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def decode_gif(payload: bytes):
-    """GIF -> uint8 RGB array [h, w, 3] (first frame of animations)."""
+    """GIF -> uint8 RGB array [h, w, 3] (first frame of animations).
+
+    Malformed streams always raise ``ValueError`` (truncations that
+    would surface as struct/index errors are normalized — the
+    documented degrade-per-row contract)."""
+    try:
+        return _decode_gif(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"malformed GIF: {e}") from e
+
+
+def _decode_gif(payload: bytes):
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
@@ -194,7 +207,13 @@ def decode_gif(payload: bytes):
             raise ValueError("GIF index out of color-table range")
         rgb = ct[idx]
         if transparent is not None and transparent < len(ct):
-            backdrop = ct[bg] if gct is not None and bg < len(gct) else 0
+            # backdrop comes from the GLOBAL table (the logical screen's
+            # background), never the frame's local table — a local table
+            # smaller than bg would otherwise mis-color or IndexError
+            backdrop = (
+                gct[bg] if gct is not None and bg < len(gct)
+                else np.zeros(3, dtype=np.uint8)
+            )
             rgb = np.where((idx == transparent)[:, :, None], backdrop, rgb)
         # compose onto the logical screen if the frame is a sub-rect
         if (ix, iy, iw, ih) != (0, 0, sw, sh) and sw and sh:

@@ -250,21 +250,48 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG -> uint8 RGB array [h, w, 3] (gray replicated)."""
+    """Baseline JPEG -> uint8 RGB array [h, w, 3] (gray replicated).
+
+    Handles multi-scan baseline streams (T.81 allows each component in
+    its own non-interleaved SOS): every scan accumulates into
+    frame-level coefficient stores and the image reconstructs once all
+    frame components have data. Malformed streams always raise
+    ``ValueError`` (truncations that would surface as struct/index
+    errors are normalized — the documented degrade-per-row contract)."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(payload: bytes):
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     hufs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
     frame = None
+    stores: dict[int, np.ndarray] = {}  # component id -> [by, bx, 64]
+    scanned: set[int] = set()
     restart = 0
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # optional fill bytes: any number of 0xFF may pad before a
+        # marker (T.81 B.1.1.2)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -297,6 +324,16 @@ def decode_jpeg(payload: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"] = -(-w // (8 * hmax))
+            frame["mcuy"] = -(-h // (8 * vmax))
+            for c in comps:
+                stores[c["id"]] = np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                    dtype=np.int64,
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF {marker:#x}) unsupported")
@@ -309,26 +346,51 @@ def decode_jpeg(payload: bytes):
             scan = []
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, tables >> 4, tables & 15))
+                matches = [x for x in frame["comps"] if x["id"] == cs]
+                if not matches:
+                    raise ValueError(f"JPEG scan names unknown component {cs}")
+                scan.append((matches[0], tables >> 4, tables & 15))
+                scanned.add(cs)
             data_pos = pos + 2 + seg_len
-            return _decode_scan(payload, data_pos, frame, scan, qt, hufs, restart)
+            pos = _decode_scan(
+                payload, data_pos, frame, scan, hufs, restart, stores
+            )
+            continue  # marker walk resumes after the entropy segment
         pos += 2 + seg_len
-    raise ValueError("JPEG missing SOS")
+    if frame is None or not scanned:
+        raise ValueError("JPEG missing SOS")
+    missing = {c["id"] for c in frame["comps"]} - scanned
+    if missing:
+        raise ValueError(f"JPEG components never scanned: {sorted(missing)}")
+    return _reconstruct(frame, stores, qt)
 
 
-def _decode_scan(buf, pos, frame, scan, qt, hufs, restart):
+def _decode_scan(buf, pos, frame, scan, hufs, restart, stores):
+    """Entropy-decode ONE scan into the frame coefficient stores;
+    returns the stream position after the scan's entropy segment.
+
+    Interleaved scans (ns > 1) walk the frame MCU grid with h x v data
+    units per component per MCU; a single-component scan walks that
+    component's own block raster one data unit per MCU (T.81 A.2.2) —
+    its MCU grid is the component's non-padded block grid."""
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    interleaved = len(scan) > 1
+    if interleaved:
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+    else:
+        comp = scan[0][0]
+        # ceil(comp_size / 8) over the component's downsampled raster
+        cw = -(-w * comp["h"] // frame["hmax"])
+        ch = -(-h * comp["v"] // frame["vmax"])
+        mcux, mcuy = -(-cw // 8), -(-ch // 8)
     n_mcu = mcux * mcuy
-    # per component: coefficient store [blocks_y, blocks_x, 64]
-    stores = []
-    for comp, _, _ in scan:
-        by, bx = mcuy * comp["v"], mcux * comp["h"]
-        stores.append(np.zeros((by, bx, 64), dtype=np.int64))
+    tabs = []
+    for comp, td, ta in scan:
+        dc_tab = hufs.get((0, td))
+        ac_tab = hufs.get((1, ta))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("JPEG scan references missing DHT")
+        tabs.append((comp, dc_tab, ac_tab))
     rdr = _BitReader(buf, pos)
     preds = [0] * len(scan)
     rst_i = 0
@@ -338,13 +400,10 @@ def _decode_scan(buf, pos, frame, scan, qt, hufs, restart):
             rst_i = (rst_i + 1) & 7
             preds = [0] * len(scan)
         my, mx = divmod(m, mcux)
-        for ci, (comp, td, ta) in enumerate(scan):
-            dc_tab = hufs.get((0, td))
-            ac_tab = hufs.get((1, ta))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("JPEG scan references missing DHT")
-            for v in range(comp["v"]):
-                for hh in range(comp["h"]):
+        for ci, (comp, dc_tab, ac_tab) in enumerate(tabs):
+            reps = (comp["v"], comp["h"]) if interleaved else (1, 1)
+            for v in range(reps[0]):
+                for hh in range(reps[1]):
                     blk = np.zeros(64, dtype=np.int64)
                     t = rdr.huff(dc_tab)
                     diff = _extend(rdr.bits(t), t)
@@ -364,27 +423,41 @@ def _decode_scan(buf, pos, frame, scan, qt, hufs, restart):
                             raise ValueError("JPEG AC run past block end")
                         blk[k] = _extend(rdr.bits(s), s)
                         k += 1
-                    stores[ci][my * comp["v"] + v, mx * comp["h"] + hh] = blk
-    # vectorized dequant + unzigzag + IDCT per component
+                    if interleaved:
+                        stores[comp["id"]][
+                            my * comp["v"] + v, mx * comp["h"] + hh
+                        ] = blk
+                    else:
+                        stores[comp["id"]][my, mx] = blk
+    # align to the byte after the last entropy byte (drop partial bits)
+    return rdr.pos
+
+
+def _reconstruct(frame, stores, qt):
+    """Dequantize + unzigzag + IDCT every frame component (one einsum
+    per plane over all its blocks), upsample, convert to RGB."""
+    h, w = frame["h"], frame["w"]
     planes = []
-    for (comp, _, _), st in zip(scan, stores):
+    for comp in frame["comps"]:
         q = qt.get(comp["tq"])
         if q is None:
-            raise ValueError("JPEG scan references missing DQT")
+            raise ValueError("JPEG frame references missing DQT")
+        st = stores[comp["id"]]
         by, bx, _ = st.shape
         coeff = (st * q)[:, :, UNZIGZAG].reshape(by, bx, 8, 8).astype(np.float64)
         px = np.einsum("ij,yxjk,kl->yxil", _C.T, coeff, _C)
         px = np.clip(np.round(px) + 128.0, 0, 255).astype(np.uint8)
         plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         # upsample to full resolution (pixel replication)
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        ry = frame["vmax"] // comp["v"]
+        rx = frame["hmax"] // comp["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         g = planes[0]
         return np.repeat(g[:, :, None], 3, axis=2).copy()
-    y, cb, cr = (p.astype(np.float64) for p in planes)
+    y, cb, cr = (p.astype(np.float64) for p in planes[:3])
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
@@ -397,9 +470,15 @@ def _decode_scan(buf, pos, frame, scan, qt, hufs, restart):
 
 
 def encode_jpeg(rgb, quality: int = 85, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                separate_scans: bool = False) -> bytes:
     """uint8 RGB [h, w, 3] -> baseline JFIF JPEG (4:4:4, or 4:2:0 with
-    ``subsample=True``), Annex-K Huffman tables, optional DRI."""
+    ``subsample=True``), Annex-K Huffman tables, optional DRI.
+    ``separate_scans`` emits one non-interleaved SOS per component
+    (legal baseline T.81; 4:4:4 only) — the decoder's multi-scan
+    fixture."""
+    if separate_scans and subsample:
+        raise ValueError("separate_scans supports 4:4:4 only")
     a = np.asarray(rgb, dtype=np.uint8)
     h, w = a.shape[:2]
     f = a.astype(np.float64)
@@ -407,8 +486,13 @@ def encode_jpeg(rgb, quality: int = 85, subsample: bool = False,
     cb = 128.0 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2]
     cr = 128.0 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2]
 
-    ql = _quality_scale(QUANT_LUMA, quality)
-    qc = _quality_scale(QUANT_CHROMA, quality)
+    # scale the (raster-order) Annex-K tables, then reorder to zigzag:
+    # DQT bytes are zigzag-ordered per B.2.4.1, and the division below
+    # runs over zigzag-ordered coefficients — without the reorder the
+    # effective quantizer is a permutation of Annex K (low frequencies
+    # get high-frequency step sizes)
+    ql = _quality_scale(QUANT_LUMA, quality)[ZIGZAG]
+    qc = _quality_scale(QUANT_CHROMA, quality)[ZIGZAG]
     dc_l_dec, dc_l = _build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l_dec, ac_l = _build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c_dec, dc_c = _build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -447,54 +531,82 @@ def encode_jpeg(rgb, quality: int = 85, subsample: bool = False,
                       / q[None, None, :]).astype(np.int64)
         blocks.append(zz)
 
-    wtr = _BitWriter()
-    preds = [0, 0, 0]
-    rst_i = 0
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            wtr.pad_to_byte()
-            wtr.out.append(0xFF)
-            wtr.out.append(0xD0 + rst_i)
-            rst_i = (rst_i + 1) & 7
-            preds = [0, 0, 0]
-        my, mx = divmod(m, mcux)
-        for ci, ((sh, sv), zz) in enumerate(zip(sampling, blocks)):
-            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            for v in range(sv):
-                for hh in range(sh):
-                    blk = zz[my * sv + v, mx * sh + hh]
-                    diff = int(blk[0]) - preds[ci]
-                    preds[ci] = int(blk[0])
-                    t, code = _magnitude(diff)
-                    c, ln = dct[t]
-                    wtr.write(c, ln)
-                    if t:
-                        wtr.write(code, t)
-                    run = 0
-                    last = 63
-                    while last > 0 and blk[last] == 0:
-                        last -= 1
-                    for k in range(1, last + 1):
-                        if blk[k] == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            c, ln = act[0xF0]
-                            wtr.write(c, ln)
-                            run -= 16
-                        t, code = _magnitude(int(blk[k]))
-                        c, ln = act[(run << 4) | t]
-                        wtr.write(c, ln)
-                        wtr.write(code, t)
-                        run = 0
-                    if last < 63:
-                        c, ln = act[0x00]  # EOB
-                        wtr.write(c, ln)
-    wtr.pad_to_byte()
+    def emit_block(wtr, blk, pred, dct, act) -> int:
+        diff = int(blk[0]) - pred
+        t, code = _magnitude(diff)
+        c, ln = dct[t]
+        wtr.write(c, ln)
+        if t:
+            wtr.write(code, t)
+        run = 0
+        last = 63
+        while last > 0 and blk[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            if blk[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act[0xF0]
+                wtr.write(c, ln)
+                run -= 16
+            t, code = _magnitude(int(blk[k]))
+            c, ln = act[(run << 4) | t]
+            wtr.write(c, ln)
+            wtr.write(code, t)
+            run = 0
+        if last < 63:
+            c, ln = act[0x00]  # EOB
+            wtr.write(c, ln)
+        return int(blk[0])
+
+    def emit_rst(wtr, rst_i) -> int:
+        wtr.pad_to_byte()
+        wtr.out.append(0xFF)
+        wtr.out.append(0xD0 + rst_i)
+        return (rst_i + 1) & 7
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    n_mcu = mcux * mcuy
+    if separate_scans:
+        # one non-interleaved SOS per component (T.81 A.2.2: each data
+        # unit is its own MCU, walked over the component's block grid)
+        entropy = []
+        for ci, zz in enumerate(blocks):
+            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            wtr = _BitWriter()
+            pred = 0
+            rst_i = 0
+            by, bx = zz.shape[:2]
+            for m in range(by * bx):
+                if restart_interval and m and m % restart_interval == 0:
+                    rst_i = emit_rst(wtr, rst_i)
+                    pred = 0
+                my, mx = divmod(m, bx)
+                pred = emit_block(wtr, zz[my, mx], pred, dct, act)
+            wtr.pad_to_byte()
+            entropy.append(bytes(wtr.out))
+    else:
+        wtr = _BitWriter()
+        preds = [0, 0, 0]
+        rst_i = 0
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                rst_i = emit_rst(wtr, rst_i)
+                preds = [0, 0, 0]
+            my, mx = divmod(m, mcux)
+            for ci, ((sh, sv), zz) in enumerate(zip(sampling, blocks)):
+                dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for v in range(sv):
+                    for hh in range(sh):
+                        preds[ci] = emit_block(
+                            wtr, zz[my * sv + v, mx * sh + hh],
+                            preds[ci], dct, act,
+                        )
+        wtr.pad_to_byte()
+        entropy = [bytes(wtr.out)]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -513,11 +625,16 @@ def encode_jpeg(rgb, quality: int = 85, subsample: bool = False,
         out += seg(0xC4, bytes([tc_th] + bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([3])
-    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
-        sos += bytes([cid, tabs])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += wtr.out
+    if separate_scans:
+        for cid, tabs, data in zip((1, 2, 3), (0x00, 0x11, 0x11), entropy):
+            out += seg(0xDA, bytes([1, cid, tabs, 0, 63, 0]))
+            out += data
+    else:
+        sos = bytes([3])
+        for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+            sos += bytes([cid, tabs])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += entropy[0]
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -140,8 +140,9 @@ def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
     """Deterministic fixture with REAL decodable payloads: images
     cycling PNG / BMP / JPEG / GIF by media_id (exercising the
     zlib+unfilter, header-parse, Huffman+IDCT, and LZW decoders
-    respectively), PCM WAV audio (sine bursts), and opaque bytes for
-    the video rows (no stdlib video codec — the honest fallback path).
+    respectively), sine-burst audio cycling WAV / AIFF / mu-law AU, and
+    opaque bytes for the video rows (no stdlib video codec — the honest
+    fallback path).
     Generated distributed via mapInPandas, derived only from
     media_id + seed."""
     base = synthetic_media(spark, n, seed)
@@ -184,10 +185,17 @@ def synthetic_media_real(spark, n: int = 48, seed: int = 42) -> DataFrame:
                         mimes.append("image/gif")
                 elif kind == "audio":
                     t = np.arange(800) / 8000.0
-                    payloads.append(codecs.encode_wav(
-                        0.5 * np.sin(2 * np.pi * (100 + rng_a) * t), 8000
-                    ))
-                    mimes.append("audio/wav")
+                    sig = 0.5 * np.sin(2 * np.pi * (100 + rng_a) * t)
+                    afmt = (int(mid) // 3) % 3  # audio ids are 1 mod 3
+                    if afmt == 0:
+                        payloads.append(codecs.encode_wav(sig, 8000))
+                        mimes.append("audio/wav")
+                    elif afmt == 1:
+                        payloads.append(codecs.encode_aiff(sig, 8000))
+                        mimes.append("audio/aiff")
+                    else:
+                        payloads.append(codecs.encode_au(sig, 8000, mulaw=True))
+                        mimes.append("audio/basic")
                 else:
                     payloads.append(b"opaque-video-" + bytes([rng_a]) * 8)
                     mimes.append("video/mp4")

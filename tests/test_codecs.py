@@ -219,3 +219,59 @@ def test_png_interlaced_and_16bit_rejected():
              + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b""))
         with pytest.raises(ValueError):
             codecs.decode_png(p)
+
+
+def test_png_truncation_always_raises_valueerror():
+    payload = codecs.encode_png(_gradient(8, 8))
+    for cut in (10, 20, 40, len(payload) - 3):
+        with pytest.raises(ValueError):
+            codecs.decode_png(payload[:cut])
+
+
+# ------------------------------------------------------------- AIFF / AU
+
+def test_aiff_roundtrip_and_extended_float_rate():
+    t = np.arange(1600) / 8000.0
+    x = 0.4 * np.sin(2 * np.pi * 440 * t)
+    for rate in (8000, 44100, 48000):  # 80-bit extended-float encode/parse
+        payload = codecs.encode_aiff(x, rate)
+        assert codecs.sniff(payload) == "aiff"
+        y, r = codecs.decode_aiff(payload)
+        assert r == rate and y.shape == (1600, 1)
+        assert np.max(np.abs(y[:, 0] - x)) < 1e-3
+
+
+def test_au_linear_and_mulaw():
+    t = np.arange(1600) / 8000.0
+    x = 0.4 * np.sin(2 * np.pi * 440 * t)
+    lin = codecs.encode_au(x, 8000)
+    assert codecs.sniff(lin) == "au"
+    y, r = codecs.decode_au(lin)
+    assert r == 8000 and np.max(np.abs(y[:, 0] - x)) < 1e-3
+    # G.711 mu-law: ~14-bit companded dynamic range
+    mu = codecs.encode_au(x, 8000, mulaw=True)
+    y2, _ = codecs.decode_au(mu)
+    assert np.max(np.abs(y2[:, 0] - x)) < 0.02
+
+
+def test_audio_router_and_features():
+    x = np.sin(np.arange(800) / 10.0)
+    for payload in (codecs.encode_wav(x, 8000), codecs.encode_aiff(x, 8000),
+                    codecs.encode_au(x, 8000, mulaw=True)):
+        samples, rate = codecs.decode_audio(payload)
+        assert rate == 8000 and samples.shape[0] == 800
+        f = codecs.feature_vector(payload, dim=8)
+        assert f[0] == pytest.approx(0.1)  # duration leads audio features
+
+
+def test_aiff_au_stereo_and_corrupt():
+    x = np.sin(np.arange(400) / 7.0)
+    st = np.stack([x, -x], axis=1)
+    for enc_fn, dec_fn in ((codecs.encode_aiff, codecs.decode_aiff),
+                           (codecs.encode_au, codecs.decode_au)):
+        y, r = dec_fn(enc_fn(st, 16000))
+        assert y.shape == (400, 2) and r == 16000
+    with pytest.raises(ValueError):
+        codecs.decode_aiff(codecs.encode_aiff(x)[:20])
+    with pytest.raises(ValueError):
+        codecs.decode_au(b".snd" + b"\x00" * 10)

@@ -119,7 +119,45 @@ def test_sniff_and_router():
 def test_corrupt_gif_degrades():
     enc = gif.encode_gif(_smooth(16, 16))
     for bad in (b"GIF89a only-a-header", enc[:60]):
-        with pytest.raises((ValueError, struct.error)):
+        with pytest.raises(ValueError):
             gif.decode_gif(bad)
         out = codecs.feature_vector(bad, dim=8)
         assert len(out) == 8 and out == codecs.feature_vector(bad, dim=8)
+
+
+def test_local_table_transparency_uses_global_backdrop():
+    """Transparent pixels take the GLOBAL table's background color even
+    when the frame has a small LOCAL color table — indexing the local
+    table with the global bg index mis-colors or IndexErrors (review
+    finding)."""
+    pal16 = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    gct = np.zeros((256, 3), np.uint8)
+    gct[200] = [10, 20, 30]
+    idx = np.tile(np.arange(4, dtype=np.uint8), (4, 1))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 7, 200, 0)
+    out += gct.tobytes()
+    out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 2, 0])  # transparent idx 2
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0x80 | 3)  # local 16
+    out += pal16.tobytes()
+    out.append(4)  # LZW min code size
+    lzw = gif._lzw_encode(idx.tobytes(), 4)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    dec = gif.decode_gif(bytes(out))
+    np.testing.assert_array_equal(dec[0, 2], [10, 20, 30])  # gct[bg]
+    np.testing.assert_array_equal(dec[0, 1], pal16[1])      # local table
+
+
+def test_truncation_always_raises_valueerror():
+    enc = gif.encode_gif(_smooth(8, 8))
+    for cut in (8, 12, 100, 700, len(enc) - 2):
+        try:
+            gif.decode_gif(enc[:cut])
+        except ValueError:
+            continue  # the contract
+        except Exception as e:
+            pytest.fail(f"cut={cut}: raised {type(e).__name__}, not ValueError")

@@ -126,3 +126,55 @@ def test_progressive_rejected():
     enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
     with pytest.raises(ValueError, match="non-baseline"):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_multi_scan_baseline_decodes_identically():
+    """T.81 baseline allows one non-interleaved SOS per component; the
+    decoder must accumulate all scans and reconstruct color — not
+    return grayscale from the first scan (review finding)."""
+    img = _smooth(24, 32)
+    inter = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90))
+    multi_enc = jpeg.encode_jpeg(img, 90, separate_scans=True)
+    assert multi_enc.count(b"\xff\xda") == 3
+    np.testing.assert_array_equal(jpeg.decode_jpeg(multi_enc), inter)
+    # restart markers count per scan
+    with_rst = jpeg.encode_jpeg(img, 90, separate_scans=True,
+                                restart_interval=5)
+    np.testing.assert_array_equal(jpeg.decode_jpeg(with_rst), inter)
+
+
+def test_fill_bytes_before_markers_accepted():
+    """Any number of 0xFF fill bytes may pad a marker (T.81 B.1.1.2)."""
+    img = _smooth(16, 16)
+    enc = jpeg.encode_jpeg(img, 90)
+    base = jpeg.decode_jpeg(enc)
+    i = enc.find(b"\xff\xc0")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    np.testing.assert_array_equal(jpeg.decode_jpeg(padded), base)
+
+
+def test_dqt_is_zigzag_ordered_annex_k():
+    """DQT bytes are zigzag-ordered per B.2.4.1: at quality 50 the luma
+    table must be exactly Annex K in zigzag order (raster-order DQT
+    would permute quantization steps across frequencies)."""
+    enc = jpeg.encode_jpeg(_smooth(16, 16), 50)
+    j = enc.find(b"\xff\xdb")
+    body = enc[j + 5 : j + 5 + 64]
+    assert body == bytes(jpeg.QUANT_LUMA[jpeg.ZIGZAG].astype(np.uint8))
+
+
+def test_truncation_always_raises_valueerror():
+    enc = jpeg.encode_jpeg(_smooth(16, 16), 90)
+    for cut in (5, 25, 60, 200, len(enc) - 3):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(enc[:cut])
+
+
+def test_incomplete_multi_scan_raises():
+    """A multi-scan stream missing a component's scan must raise, not
+    silently reconstruct from zero coefficients."""
+    enc = jpeg.encode_jpeg(_smooth(16, 16), 90, separate_scans=True)
+    last_sos = enc.rfind(b"\xff\xda")
+    truncated = enc[:last_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="never scanned"):
+        jpeg.decode_jpeg(truncated)

@@ -472,6 +472,9 @@ def test_multimodal_real_codecs_end_to_end(spark):
     assert {"image/bmp", "image/png", "image/jpeg", "image/gif"} <= {
         r["mime"] for r in media.filter("kind = 'image'").collect()
     }
+    assert {"audio/wav", "audio/aiff", "audio/basic"} <= {
+        r["mime"] for r in media.filter("kind = 'audio'").collect()
+    }
     rows = {r["media_id"]: r for r in
             multimodal.extract_features(media, feature_dim=8).collect()}
     kinds = {r["media_id"]: r["kind"] for r in media.select("media_id", "kind").collect()}
