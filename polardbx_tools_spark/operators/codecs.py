@@ -17,9 +17,11 @@ formats that need nothing beyond the standard library + numpy:
 * JPEG (baseline sequential DCT, Huffman, 4:4:4/4:2:2/4:2:0, restart
   markers) — pure numpy, see :mod:`.jpeg`;
 * GIF (87a/89a LZW, interlace, transparency; first frame of
-  animations) — pure python/numpy, see :mod:`.gif`.
+  animations) — pure python/numpy, see :mod:`.gif`;
+* AVI/Motion-JPEG video (frame index + per-frame JPEG decode, frame
+  sampling without materializing the clip) — see :mod:`.avi`.
 
-MP4 (and progressive JPEG, interlaced/16-bit PNG) remains
+MP4/H.264 (and progressive JPEG, interlaced/16-bit PNG) remains
 deployment-codec territory (``decode_fn`` / ``resize_fn`` hooks);
 :func:`sniff` routes by magic bytes so mixed corpora degrade per-row,
 not per-job.
@@ -56,6 +58,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "aiff"
     if payload[:4] == b".snd":
         return "au"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -589,6 +593,10 @@ def feature_vector(payload: bytes | None, dim: int = 8) -> list[float]:
             out = wav_features(payload)
         elif kind in ("bmp", "ppm", "png", "jpeg", "gif"):
             out = image_features(payload)
+        elif kind == "avi":
+            from polardbx_tools_spark.operators.avi import video_features
+
+            out = video_features(payload)
     except Exception:
         out = None  # corrupt body behind a valid magic -> fallback
     if out is None:

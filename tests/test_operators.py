@@ -475,6 +475,9 @@ def test_multimodal_real_codecs_end_to_end(spark):
     assert {"audio/wav", "audio/aiff", "audio/basic"} <= {
         r["mime"] for r in media.filter("kind = 'audio'").collect()
     }
+    assert {"video/x-msvideo", "video/mp4"} <= {
+        r["mime"] for r in media.filter("kind = 'video'").collect()
+    }
     rows = {r["media_id"]: r for r in
             multimodal.extract_features(media, feature_dim=8).collect()}
     kinds = {r["media_id"]: r["kind"] for r in media.select("media_id", "kind").collect()}
@@ -493,6 +496,22 @@ def test_multimodal_real_codecs_end_to_end(spark):
         codecs.decode_image(bytes(r["payload"])).shape == (3, 4, 3) for r in out
     )
     assert all(r["width"] == 4 and r["height"] == 3 for r in out)
+    # REAL video frame extraction: MJPEG-AVI rows yield decodable PNG
+    # frames; opaque mp4 rows degrade to one NULL-payload row
+    frames = multimodal.extract_frames(media, every_ms=250,
+                                       frame_format="png").collect()
+    mimes_by_id = {r["media_id"]: r["mime"]
+                   for r in media.filter("kind = 'video'").collect()}
+    got_real = got_null = 0
+    for r in frames:
+        if mimes_by_id[r["media_id"]] == "video/x-msvideo":
+            rgb = codecs.decode_image(bytes(r["frame_payload"]))
+            assert rgb.shape == (16, 16, 3)
+            got_real += 1
+        else:
+            assert r["frame_payload"] is None
+            got_null += 1
+    assert got_real > 0 and got_null > 0
 
 
 def test_multimodal_resize_and_frame_sample_plumbing(spark):
