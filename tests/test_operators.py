@@ -1703,3 +1703,37 @@ def test_wide_mask_lsh_pairs_drop_null_vectors(spark):
     got = {(r[0], r[1]) for r in pairs}
     assert (1, 2) in got or (2, 1) in got
     assert all(3 not in p for p in got)
+
+
+def test_multimodal_image_near_dup_composition(spark):
+    """End-to-end multimodal dedup: decode image payloads to feature
+    vectors (extract_features) and find planted near-duplicate images
+    with the embedding near-dup operator — the composition a media
+    curation pipeline runs. A JPEG re-encode of the same picture must
+    pair with its PNG original; an unrelated picture must not."""
+    import numpy as np
+
+    from polardbx_tools_spark.operators import codecs
+    from polardbx_tools_spark.operators.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    pic = np.stack([(xx * 9) % 256, (yy * 13) % 256,
+                    ((xx + yy) * 5) % 256], -1).astype(np.uint8)
+    other = np.stack([255 - (xx * 3) % 256, (yy * 2) % 256,
+                      (xx * yy) % 256], -1).astype(np.uint8)
+    rows = [
+        (1, "image", "image/png", 16, 16, 0, bytearray(codecs.encode_png(pic))),
+        (2, "image", "image/jpeg", 16, 16, 0, bytearray(encode_jpeg(pic, 95))),
+        (3, "image", "image/png", 16, 16, 0, bytearray(codecs.encode_png(other))),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, feature_dim=8).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feat").alias("embedding"),
+    )
+    pairs = similarity.cosine_near_dup_pairs(
+        feats, dim=8, threshold=0.9999, n_planes=4, n_tables=8
+    ).collect()
+    got = {tuple(sorted((r[0], r[1]))) for r in pairs}
+    assert (1, 2) in got, got  # same picture across containers
+    assert all(3 not in p for p in got), got
