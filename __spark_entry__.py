@@ -1411,6 +1411,33 @@ def _q_dedup_spans(spark, sf):
 
 
 _DSIR_W_CACHE: dict = {}
+_DOC_FB_CACHE: dict = {}
+
+
+def _doc_feats_shared(spark, sf):
+    """ONE persisted hashed-feature relation (doc_id, text, _fb) per
+    (session, sf_dir): the DSIR fit, DSIR weights, classifier fit and
+    classifier score all consume the SAME hashed unigram+bigram bucket
+    bags (n_buckets=4096), and the md5 bucket hash is the dominant cost
+    of each — without sharing, the quality suite pays that corpus pass
+    four times. Persisting the bucket ARRAYS (not the explode) keeps the
+    cached bytes ∝ corpus tokens; each consumer explodes lazily."""
+    key = (spark.sparkContext.applicationId, sf)
+    hit = _DOC_FB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = _t(spark, sf, "documents")
+    fb = (
+        similarity._widen_scan(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            "text",
+            dsir.hashed_ngram_buckets(F.col("text"), 4096).alias("_fb"),
+        )
+        .persist()
+    )
+    _DOC_FB_CACHE[key] = fb
+    return fb
 
 
 def _dsir_weights_shared(spark, sf):
@@ -1419,17 +1446,17 @@ def _dsir_weights_shared(spark, sf):
     leg re-hashes every corpus n-gram (the md5 bucket hash is the
     dominant cost). Subset fit: the target is the in-corpus reference
     slice, so both count relations come from a single explode pass
-    (dsir_fit_subset). Keyed by applicationId like
-    _minhash_pairs_shared."""
+    (dsir_fit_subset) over the shared hashed-feature relation. Keyed by
+    applicationId like _minhash_pairs_shared."""
     key = (spark.sparkContext.applicationId, sf)
     hit = _DSIR_W_CACHE.get(key)
     if hit is not None:
         return hit
-    d = _t(spark, sf, "documents")
+    fb = _doc_feats_shared(spark, sf)
     ratios, consts = dsir.dsir_fit_subset(
-        d, F.col("doc_id") % 7 != 0, n_buckets=4096
+        fb, F.col("doc_id") % 7 != 0, n_buckets=4096, features_col="_fb"
     )
-    w = dsir.dsir_weights(d, ratios, consts).persist()
+    w = dsir.dsir_weights(fb, ratios, consts, features_col="_fb").persist()
     _DSIR_W_CACHE[key] = w
     return w
 
@@ -1461,8 +1488,14 @@ def _q_quality_suite(spark, sf):
       SQL-replayable; n = feature count, v = P(positive).
 
     Integer-ratio probabilities replay exactly in SQL; round(4)
-    absorbs summation-order ulps."""
-    d = _t(spark, sf, "documents")
+    absorbs summation-order ulps.
+
+    Physical sharing (round-5): all four legs ride ONE persisted
+    hashed-feature relation (_doc_feats_shared) — the md5 bucket pass
+    runs once instead of four times (dsir fit / dsir weights / clf fit /
+    clf score), and lm_fit itself is one-pass over a persisted
+    (prev, cur) count relation."""
+    d = _doc_feats_shared(spark, sf)
     ref = d.filter(F.col("doc_id") % 7 != 0)
     ppl = lm.lm_perplexity(d, ref).select(
         F.lit("ppl").alias("leg"), "doc_id",
@@ -1483,9 +1516,9 @@ def _q_quality_suite(spark, sf):
     cw, cc = classifier.quality_fit(
         d.filter(F.col("doc_id") % 2 == 0),
         d.filter(F.col("doc_id") % 2 == 1),
-        n_buckets=4096, iters=1,
+        n_buckets=4096, iters=1, features_col="_fb",
     )
-    clf = classifier.quality_score(d, cw, cc).select(
+    clf = classifier.quality_score(d, cw, cc, features_col="_fb").select(
         F.lit("clf").alias("leg"), "doc_id",
         F.col("n_feats").alias("n"),
         F.round("quality_score", 4).alias("v"),

@@ -42,14 +42,26 @@ from .dsir import DEFAULT_BUCKETS, hashed_ngram_buckets
 
 
 def _feature_relation(
-    pos: DataFrame, neg: DataFrame, text_col: str, n_buckets: int
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    features_col: str | None = None,
 ) -> DataFrame:
     """(y double, b array<long>) training relation: label 1.0 for pos,
     0.0 for neg; featureless (empty/NULL text) docs carry no evidence
-    and are dropped. Hashing happens here, once, JVM-side."""
+    and are dropped. Hashing happens here, once, JVM-side — unless
+    ``features_col`` names a precomputed ``array<bigint>`` bucket column
+    (hashed_ngram_buckets at the SAME ``n_buckets``; see
+    dsir.dsir_fit_subset), in which case the shared relation is reused."""
     from .similarity import _widen_scan
 
     def feats(df: DataFrame, y: float) -> DataFrame:
+        if features_col is not None:
+            return df.select(
+                F.lit(y).cast("double").alias("y"),
+                F.col(features_col).alias("b"),
+            )
         return _widen_scan(df.select(text_col)).select(
             F.lit(y).cast("double").alias("y"),
             hashed_ngram_buckets(F.col(text_col), n_buckets).alias("b"),
@@ -109,6 +121,7 @@ def quality_fit(
     iters: int = 30,
     lr: float = 5.0,
     l2: float = 1e-4,
+    features_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Train the classifier: full-batch logistic regression by gradient
     descent (deterministic zero init, fixed step, L2 on the weights but
@@ -125,7 +138,9 @@ def quality_fit(
     import numpy as np
 
     spark = pos.sparkSession
-    feat = _feature_relation(pos, neg, text_col, n_buckets).persist()
+    feat = _feature_relation(
+        pos, neg, text_col, n_buckets, features_col
+    ).persist()
     w = np.zeros(n_buckets, dtype=np.float64)
     bias = 0.0
     losses: list[float] = []
@@ -214,20 +229,27 @@ def quality_score(
     consts: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    features_col: str | None = None,
 ) -> DataFrame:
     """Per-document (id, n_feats, quality_score): P(positive) under the
     trained model. Pure JVM: explode + broadcast weights join + one
     per-doc sum + sigmoid. Featureless docs score NULL (no evidence) —
     mirror of dsir_weights' contract. Buckets unseen in training carry
-    weight 0 by the left join."""
+    weight 0 by the left join. ``features_col``: see
+    dsir.dsir_fit_subset (same precomputed-bucket contract)."""
     from .similarity import _widen_scan
 
-    feats = _widen_scan(docs.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode_outer(
-            hashed_ngram_buckets(F.col(text_col), consts["n_buckets"])
-        ).alias("bucket"),
-    )
+    if features_col is not None:
+        feats = docs.select(
+            F.col(id_col), F.explode_outer(features_col).alias("bucket")
+        )
+    else:
+        feats = _widen_scan(docs.select(id_col, text_col)).select(
+            F.col(id_col),
+            F.explode_outer(
+                hashed_ngram_buckets(F.col(text_col), consts["n_buckets"])
+            ).alias("bucket"),
+        )
     scored = feats.join(F.broadcast(weights), on="bucket", how="left").select(
         id_col, "bucket", F.coalesce("w", F.lit(0.0)).alias("w")
     )

@@ -147,6 +147,7 @@ def dsir_fit_subset(
     is_target,
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
+    features_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """One-pass :func:`dsir_fit` for the common shape where the target
     is a SUBSET of the raw pool (an in-corpus reference slice): both
@@ -154,21 +155,31 @@ def dsir_fit_subset(
     per-row target flag (``is_target`` is a boolean Column over
     ``raw``'s columns), halving the hashing passes and collect jobs.
     Same smoothing, same result as dsir_fit(raw.filter(is_target), raw)
-    — a target-only bucket cannot exist under the subset premise."""
+    — a target-only bucket cannot exist under the subset premise.
+
+    ``features_col`` names a PRECOMPUTED ``array<bigint>`` bucket column
+    on ``raw`` (built with :func:`hashed_ngram_buckets` at the SAME
+    ``n_buckets`` — the caller's contract); when several consumers hash
+    the same corpus (DSIR fit + weights + the quality classifier), a
+    shared persisted feature relation pays the md5 pass once."""
     import math
 
     from .similarity import _widen_scan
 
-    base = _widen_scan(
-        raw.select(is_target.cast("int").alias("_is_t"), F.col(text_col))
-    )
-    counts = (
-        base.select(
-            "_is_t",
-            F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias(
-                "bucket"
-            ),
+    if features_col is not None:
+        base = raw.select(
+            is_target.cast("int").alias("_is_t"),
+            F.col(features_col).alias("_fb"),
         )
+    else:
+        base = _widen_scan(
+            raw.select(is_target.cast("int").alias("_is_t"), F.col(text_col))
+        ).select(
+            "_is_t",
+            hashed_ngram_buckets(F.col(text_col), n_buckets).alias("_fb"),
+        )
+    counts = (
+        base.select("_is_t", F.explode("_fb").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("rn"), F.sum("_is_t").alias("tn"))
         # persisted (<= n_buckets rows): the totals collect below
@@ -205,21 +216,28 @@ def dsir_weights(
     consts: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    features_col: str | None = None,
 ) -> DataFrame:
     """Per-document (id, n_feats, log_w): summed bucket log-ratios.
 
     ``log_w`` is NULL for documents with no features (empty text) —
     they carry no evidence either way and are excluded by
     :func:`dsir_select`. The ratios join is broadcast (<= n_buckets
-    rows); the only corpus-sized shuffle is the per-doc sum."""
+    rows); the only corpus-sized shuffle is the per-doc sum.
+    ``features_col``: see :func:`dsir_fit_subset` (same contract)."""
     from .similarity import _widen_scan
 
-    feats = _widen_scan(docs.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode_outer(
-            hashed_ngram_buckets(F.col(text_col), consts["n_buckets"])
-        ).alias("bucket"),
-    )
+    if features_col is not None:
+        feats = docs.select(
+            F.col(id_col), F.explode_outer(features_col).alias("bucket")
+        )
+    else:
+        feats = _widen_scan(docs.select(id_col, text_col)).select(
+            F.col(id_col),
+            F.explode_outer(
+                hashed_ngram_buckets(F.col(text_col), consts["n_buckets"])
+            ).alias("bucket"),
+        )
     scored = feats.join(F.broadcast(ratios), on="bucket", how="left").select(
         id_col,
         "bucket",

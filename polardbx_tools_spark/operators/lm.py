@@ -49,32 +49,43 @@ def lm_fit(
 
     Returns (unigrams(w, n), bigrams(a, b, n), consts) where consts
     carries ``total`` (T) and ``vocab`` (V) — the only driver-side
-    state, two scalars from bounded aggregates."""
-    toks = ref.select(_doc_tokens(F.col(text_col)).alias("_t"))
-    uni = (
-        toks.select(F.explode("_t").alias("w"))
-        .groupBy("w")
+    state, two scalars from bounded aggregates.
+
+    ONE tokenize pass: each token position explodes to (prev, cur)
+    (prev NULL at position 0), and a single groupBy(prev, cur) count —
+    persisted, it is bounded by the distinct-bigram vocabulary, not the
+    corpus — serves all three consumers: unigram counts are the
+    per-``cur`` sums (every token occurs as ``cur`` exactly once),
+    bigram counts are the prev-NOT-NULL rows, and the (T, V) scalars are
+    one aggregate over it. The previous shape tokenized the reference
+    three times (totals, unigram join, bigram join) and — lazily — ONCE
+    PER MICROBATCH under the streaming perplexity gate; the persisted
+    count relation makes per-batch scoring reuse the fit."""
+    from .similarity import _widen_scan
+
+    toks = _doc_tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("cur"),
+                F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pc = (
+        _widen_scan(ref.select(text_col))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.prev").alias("a"), F.col("p.cur").alias("b"))
         .agg(F.count("*").alias("n"))
+        .persist()
     )
-    bi = (
-        toks.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_t") - 1),
-                    lambda i: F.struct(
-                        F.element_at("_t", i).alias("a"),
-                        F.element_at("_t", i + 1).alias("b"),
-                    ),
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n"))
-    )
-    row = uni.select(
+    uni = pc.groupBy(F.col("b").alias("w")).agg(F.sum("n").alias("n"))
+    bi = pc.filter(F.col("a").isNotNull()).select("a", "b", "n")
+    row = pc.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
-        F.count("*").alias("vocab"),
+        F.countDistinct("b").alias("vocab"),
     ).first()
     return uni, bi, {"total": int(row["total"]), "vocab": int(row["vocab"])}
 
@@ -109,8 +120,14 @@ def lm_score(
             ),
         ),
     ).otherwise(F.array())
-    pos = docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
-        id_col, "p.pos", "p.cur", "p.prev"
+    from .similarity import _widen_scan
+
+    # widen below the explode: tokenize + position structs are the
+    # compute, and a one-split parquet would serialize them on one core
+    pos = (
+        _widen_scan(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, "p.pos", "p.cur", "p.prev")
     )
     u_cur = unigrams.select(F.col("w").alias("cur"), F.col("n").alias("n_cur"))
     u_prev = unigrams.select(F.col("w").alias("prev"), F.col("n").alias("n_prev"))
