@@ -30,6 +30,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch for the gate entries that drive the real engine (lake
+    tables, detach parquets, index fits): tmpfs when available so the
+    timed query measures the engine, not the sandbox's virtual disk —
+    the same workdir policy bench.py uses for its CDC legs. Override
+    with SPARK_GRAFT_SCRATCH; production jobs pass real lake paths, so
+    nothing outside these sandbox entries routes through this."""
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 # --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -484,7 +500,6 @@ def _q_cdc_lake_roundtrip(spark, sf):
     The oracle is the equivalent last-writer-wins SQL — so the driver
     verifies the actual MERGE path, not just a window-function shadow."""
     import shutil
-    import tempfile
 
     from polardbx_tools_spark.lake.merge import merge_into
     from polardbx_tools_spark.lake.table import LakeTable
@@ -507,7 +522,7 @@ def _q_cdc_lake_roundtrip(spark, sf):
         F.col("event_id").alias("source_lsn"),
         F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-rt-")
+    tmp = _scratch_dir("cdc-rt-")
     try:
         schema = StructType([
             StructField("conv_id", StringType(), False),
@@ -522,12 +537,15 @@ def _q_cdc_lake_roundtrip(spark, sf):
         # batch 0 copy-on-write, batch 1 MERGE-ON-READ — the final read
         # resolves delta files against the COW base by the same total
         # order, so the gate verifies both write paths AND the read-side
-        # merge in one oracle
-        mid = changelog.agg(F.expr("percentile_approx(source_lsn, 0.5)")).collect()[0][0]
-        merge_into(spark, table, changelog.filter(F.col("source_lsn") <= mid), 0,
-                   mode="cow")
-        merge_into(spark, table, changelog.filter(F.col("source_lsn") > mid), 1,
-                   mode="mor")
+        # merge in one oracle. The split is DATA-INDEPENDENT (LSN
+        # parity) so no driver stats job precedes the first merge (the
+        # former percentile_approx collect was one extra full pass):
+        # the merge's (ts, lsn, partition) total order makes the final
+        # LWW state split-invariant, and parity maximizes the
+        # cross-batch conflicts the entry exists to exercise.
+        half = F.pmod(F.col("source_lsn"), F.lit(2)) == 0
+        merge_into(spark, table, changelog.filter(half), 0, mode="cow")
+        merge_into(spark, table, changelog.filter(~half), 1, mode="mor")
         out = table.read(spark).select(
             "conv_id", "turn_idx", "text",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
@@ -538,7 +556,7 @@ def _q_cdc_lake_roundtrip(spark, sf):
         # dir outlives this function and is reaped at interpreter exit.
         import atexit
 
-        keep = tempfile.mkdtemp(prefix="cdc-rt-out-")
+        keep = _scratch_dir("cdc-rt-out-")
         atexit.register(shutil.rmtree, keep, ignore_errors=True)
         out_path = f"{keep}/state.parquet"
         out.write.mode("overwrite").parquet(out_path)
@@ -556,7 +574,6 @@ def _q_cdc_multi_table_apply(spark, sf):
     last-writer-wins SQL, labelled union."""
     import atexit
     import shutil
-    import tempfile
 
     from polardbx_tools_spark.lake.multi import apply_multi_table
     from polardbx_tools_spark.lake.table import LakeTable
@@ -582,7 +599,7 @@ def _q_cdc_multi_table_apply(spark, sf):
         F.col("event_id").alias("source_lsn"),
         F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-mt-")
+    tmp = _scratch_dir("cdc-mt-")
     try:
         schema = StructType([
             StructField("conv_id", StringType(), False),
@@ -605,7 +622,7 @@ def _q_cdc_multi_table_apply(spark, sf):
                 F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
             )
             out = part if out is None else out.unionByName(part)
-        keep = tempfile.mkdtemp(prefix="cdc-mt-out-")
+        keep = _scratch_dir("cdc-mt-out-")
         atexit.register(shutil.rmtree, keep, ignore_errors=True)
         out_path = f"{keep}/state.parquet"
         out.write.mode("overwrite").parquet(out_path)
@@ -624,7 +641,6 @@ def _q_cdc_incremental_read(spark, sf):
     labelled; exact integer mid so both engines split identically."""
     import atexit
     import shutil
-    import tempfile
 
     from polardbx_tools_spark.lake.merge import merge_into
     from polardbx_tools_spark.lake.table import LakeTable
@@ -648,7 +664,7 @@ def _q_cdc_incremental_read(spark, sf):
         F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
     )
     mid = changelog.agg((F.floor(F.max("source_lsn") / 2)).cast("long")).collect()[0][0]
-    tmp = tempfile.mkdtemp(prefix="cdc-inc-")
+    tmp = _scratch_dir("cdc-inc-")
     try:
         schema = StructType([
             StructField("conv_id", StringType(), False),
@@ -667,7 +683,7 @@ def _q_cdc_incremental_read(spark, sf):
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
             "_change_type",
         )
-        keep = tempfile.mkdtemp(prefix="cdc-inc-out-")
+        keep = _scratch_dir("cdc-inc-out-")
         atexit.register(shutil.rmtree, keep, ignore_errors=True)
         out_path = f"{keep}/changes.parquet"
         inc.write.mode("overwrite").parquet(out_path)
@@ -1210,7 +1226,12 @@ def _q_text_rank_suite(spark, sf):
     from polardbx_tools_spark.operators import retrieval
 
     d = _t(spark, sf, "documents")
-    tfl = text.tf_idf_top_terms(d, k=5).select(
+    # ONE persisted tokenized relation feeds both rankers: without it
+    # each leg re-tokenizes the corpus (tfidf once, bm25 twice — its
+    # postings and its (N, avgdl) aggregate are separate subtrees), so
+    # the suite paid the tokenize scan 3x per run
+    tokd = text.tokenized_docs(d).persist()
+    tfl = text.tf_idf_top_terms(d, k=5, tokenized=tokd).select(
         F.lit("tfidf").alias("leg"),
         F.col("doc_id").alias("a"), F.lit(-1).cast("long").alias("b"),
         F.col("term").alias("s"), F.col("rank").cast("int").alias("rank"),
@@ -1221,7 +1242,7 @@ def _q_text_rank_suite(spark, sf):
         F.col("doc_id").alias("query_id"),
         F.array_join(toks5, " ").alias("text"),
     )
-    bm = retrieval.bm25_topk(d, q, k=5).select(
+    bm = retrieval.bm25_topk(d, q, k=5, tokenized=tokd).select(
         F.lit("bm25").alias("leg"),
         F.col("query_id").alias("a"), F.col("doc_id").alias("b"),
         F.lit("").alias("s"), F.col("rank"), F.col("score").alias("v"),
@@ -1341,9 +1362,8 @@ def _q_ann_pq_topk(spark, sf):
     if idx is None:
         import atexit
         import shutil
-        import tempfile
 
-        pq_dir = tempfile.mkdtemp(prefix="pq_index_gate_")
+        pq_dir = _scratch_dir("pq_index_gate_")
         atexit.register(shutil.rmtree, pq_dir, ignore_errors=True)
         idx = similarity.PqIndex.fit(
             spark, pq_dir, e,
@@ -1495,14 +1515,35 @@ def _q_quality_suite(spark, sf):
     runs once instead of four times (dsir fit / dsir weights / clf fit /
     clf score), and lm_fit itself is one-pass over a persisted
     (prev, cur) count relation."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from polardbx_tools_spark.operators import classifier
+
     d = _doc_feats_shared(spark, sf)
     ref = d.filter(F.col("doc_id") % 7 != 0)
-    ppl = lm.lm_perplexity(d, ref).select(
+    # the three fits each run synchronous driver jobs (lm totals, dsir
+    # counts, one gradient pass) over the SAME persisted feature
+    # relation and are mutually independent — overlap them in a small
+    # thread pool (guide §2.6: actions are only sequential because the
+    # driver calls them sequentially). The shared relation is
+    # materialized first so the concurrent fits read the cache instead
+    # of racing to compute the md5 pass.
+    d.count()
+    with ThreadPoolExecutor(3) as pool:
+        f_ppl = pool.submit(lm.lm_perplexity, d, ref)
+        f_w = pool.submit(_dsir_weights_shared, spark, sf)
+        f_clf = pool.submit(
+            classifier.quality_fit,
+            d.filter(F.col("doc_id") % 2 == 0),
+            d.filter(F.col("doc_id") % 2 == 1),
+            n_buckets=4096, iters=1, features_col="_fb",
+        )
+        ppl_df, w, (cw, cc) = f_ppl.result(), f_w.result(), f_clf.result()
+    ppl = ppl_df.select(
         F.lit("ppl").alias("leg"), "doc_id",
         F.col("n_tokens").cast("int").alias("n"),
         F.round("log_ppl", 4).alias("v"),
     )
-    w = _dsir_weights_shared(spark, sf)
     dw = w.select(
         F.lit("dsir").alias("leg"), "doc_id",
         F.col("n_feats").alias("n"), F.round("log_w", 4).alias("v"),
@@ -1510,13 +1551,6 @@ def _q_quality_suite(spark, sf):
     sel = dsir.select_top_k(w, k=64, seed=7).select(
         F.lit("sel").alias("leg"), "doc_id",
         F.col("sel_rank").alias("n"), F.round("log_w", 4).alias("v"),
-    )
-    from polardbx_tools_spark.operators import classifier
-
-    cw, cc = classifier.quality_fit(
-        d.filter(F.col("doc_id") % 2 == 0),
-        d.filter(F.col("doc_id") % 2 == 1),
-        n_buckets=4096, iters=1, features_col="_fb",
     )
     clf = classifier.quality_score(d, cw, cc, features_col="_fb").select(
         F.lit("clf").alias("leg"), "doc_id",

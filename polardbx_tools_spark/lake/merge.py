@@ -352,18 +352,31 @@ def merge_into(
     def one(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
+    # conflict counts are NOT observed: every valid source event either
+    # wins (_rn=1) or loses (_rn=2) the merge window, so conflicts ==
+    # events - winners — globally and per source partition (events come
+    # from the stats pass above). Observing them doubled the per-row
+    # aggregate work of the write job for numbers an identity provides
+    # (r06 measurement: per-partition observe cost ~1s/batch at the 2M
+    # leg; halving the metric list recovers most of it).
+    # the observed metrics are evaluated per row OUTSIDE whole-stage
+    # codegen (CollectMetrics aggregates), so each expression's depth is
+    # paid interpreted at full row rate: precompute ONE codegen'd column
+    # `_swp` (= source partition of a winning source row, else NULL) in
+    # the projection below and reduce every metric to a single
+    # comparison against it instead of a 3-4-term boolean chain
+    swp = F.when(is_win & is_src, F.col(SEQ_PART))
+    ranked = ranked.withColumn("_swp", swp)
+    src_win = F.col("_swp").isNotNull()
     metrics = [
-        one(is_win & is_src & ~F.col(DELETED)).alias("upserts"),
-        one(is_win & is_src & F.col(DELETED)).alias("deletes"),
-        one(~is_win & is_src).alias("conflicts"),
+        one(src_win & ~F.col(DELETED)).alias("upserts"),
+        one(src_win & F.col(DELETED)).alias("deletes"),
         one(is_win).alias("rows_written_total"),
     ]
     detail = os.environ.get("MERGE_PARTITION_METRICS", "1") == "1"
     if detail:
         for p in parts:
-            pp = F.col(SEQ_PART) == p
-            metrics.append(one(is_win & is_src & pp).alias(f"w{p}"))
-            metrics.append(one(~is_win & is_src & pp).alias(f"c{p}"))
+            metrics.append(one(F.col("_swp") == p).alias(f"w{p}"))
     else:
         # detail off: record UNKNOWN (None), not a silently-wrong 0 —
         # lineage consumers must not read "0 rows merged" for a batch
@@ -401,22 +414,27 @@ def merge_into(
             m = obs.get
             stats.upserts = int(m["upserts"])
             stats.deletes = int(m["deletes"])
-            stats.conflicts_resolved = int(m["conflicts"])
             stats.rows_written = int(m["rows_written_total"])
             if detail:
                 for p in parts:
                     stats.per_partition[p]["winners"] = int(m[f"w{p}"])
-                    stats.per_partition[p]["conflicts"] = int(m[f"c{p}"])
         else:
             row = ranked.agg(*metrics).collect()[0].asDict()
             stats.upserts = int(row["upserts"])
             stats.deletes = int(row["deletes"])
-            stats.conflicts_resolved = int(row["conflicts"])
             stats.rows_written = int(row["rows_written_total"])
-            if detail:  # w{p}/c{p} exist only with detail metrics on
+            if detail:  # w{p} exists only with detail metrics on
                 for p in parts:
                     stats.per_partition[p]["winners"] = int(row[f"w{p}"])
-                    stats.per_partition[p]["conflicts"] = int(row[f"c{p}"])
+        # conflicts by identity (see the metrics comment): winner +
+        # loser counts partition the valid source events exactly
+        stats.conflicts_resolved = (
+            stats.batch_events - stats.upserts - stats.deletes
+        )
+        if detail:
+            for p in parts:
+                v = stats.per_partition[p]
+                v["conflicts"] = v["events"] - v["winners"]
     finally:
         if not use_observe:
             ranked.unpersist()

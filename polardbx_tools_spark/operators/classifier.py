@@ -53,7 +53,13 @@ def _feature_relation(
     and are dropped. Hashing happens here, once, JVM-side — unless
     ``features_col`` names a precomputed ``array<bigint>`` bucket column
     (hashed_ngram_buckets at the SAME ``n_buckets``; see
-    dsir.dsir_fit_subset), in which case the shared relation is reused."""
+    dsir.dsir_fit_subset), in which case the shared relation is reused.
+
+    ``features_col`` inputs should arrive WIDENED and persisted (the
+    ``_widen_scan`` discipline is applied only to the text path here): a
+    lazy feature column over a one-split parquet would pay its md5 pass
+    on one core — the single-split serialization trap. The gate's
+    ``_doc_feats_shared`` relation satisfies this by construction."""
     from .similarity import _widen_scan
 
     def feats(df: DataFrame, y: float) -> DataFrame:

@@ -153,8 +153,11 @@ def jaccard_pairs(
 
     ``strategy``:
 
-    * ``"generic"`` — per-doc sorted string sets verified with
-      array_intersect/array_union. No probe job at all.
+    * ``"generic"`` — per-doc word sets hashed once to sorted int64
+      arrays and verified with array_intersect/array_union over longs
+      (cheaper comparisons + narrower shuffle than string sets; exact
+      modulo 64-bit hash collisions — the same contract as the minhash
+      verify and the char-n-gram leg). No probe job at all.
     * ``"bitmask"`` — tokens of a bounded SAMPLE vocabulary are
       dictionary-encoded to bit positions; a word set becomes one int64
       mask plus a (usually empty) residual array of out-of-vocabulary
@@ -189,8 +192,18 @@ def jaccard_pairs(
     base = _widen_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), word_set(F.col(text_col)).alias("ws")
     )
+    # generic verify runs on sorted int64 token hashes, not strings:
+    # set sizes and jaccard values are unchanged absent a 64-bit
+    # collision (the minhash/ngram contract), and the candidate-pair
+    # intersects — the dominant cost — compare longs
+    hashed = lambda: base.select(
+        "id",
+        F.array_sort(
+            F.transform("ws", lambda t: F.xxhash64(t))
+        ).alias("ws"),
+    )
     if strategy == "generic":
-        return _jaccard_pairs_generic(base, threshold)
+        return _jaccard_pairs_generic(hashed(), threshold)
     if strategy not in ("bitmask", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
     probe = _vocab_probe_df(
@@ -200,7 +213,7 @@ def jaccard_pairs(
     toks = list(probe["toks"] or [])
     vocab = toks[:max_bitmask_vocab]  # sort_array already ordered them
     if strategy == "auto" and len(toks) > max_bitmask_vocab:
-        return _jaccard_pairs_generic(base, threshold)
+        return _jaccard_pairs_generic(hashed(), threshold)
     # completeness decision stays BOUNDED and costs NO extra job
     # (round-3 finding: the former full-corpus has_unseen aggregate was
     # an extra synchronous pass; round-4 finding: so was the separate

@@ -190,7 +190,18 @@ def dsir_fit_subset(
     row = counts.agg(
         F.coalesce(F.sum("rn"), F.lit(0)).alias("rt"),
         F.coalesce(F.sum("tn"), F.lit(0)).alias("tt"),
+        # fail-fast on a features_col hashed at a DIFFERENT bucket count
+        # (the contract is docstring-only otherwise and a mismatch
+        # silently skews td/rd and every weight); rides the existing
+        # bounded aggregate, so the guard costs no extra job
+        F.max("bucket").alias("mb"),
     ).first()
+    if row["mb"] is not None and int(row["mb"]) >= n_buckets:
+        raise ValueError(
+            f"features_col carries bucket id {int(row['mb'])} >= "
+            f"n_buckets={n_buckets}: the precomputed features were hashed "
+            f"at a different bucket count (hashed_ngram_buckets contract)"
+        )
     r_total, t_total = int(row["rt"]), int(row["tt"])
     td = float(t_total + n_buckets)
     rd = float(r_total + n_buckets)

@@ -17,11 +17,11 @@ anything shuffles:
 1. token counts are a pure projection (no shuffle);
 2. ONE range shuffle on the order key gives contiguous, ordered
    partitions — the only time corpus rows move;
-3. the running total is an Arrow ``mapInPandas`` cumsum over the
-   range-sorted cached partitions (a window keyed by
-   ``spark_partition_id`` would be equivalent but forces a second
-   corpus exchange — Catalyst cannot see that rows are already grouped
-   by their own partition id);
+3. the running total is an Arrow-native ``mapInArrow`` cumsum
+   (``pyarrow.compute``, no pandas round-trip) over the range-sorted
+   cached partitions (a window keyed by ``spark_partition_id`` would be
+   equivalent but forces a second corpus exchange — Catalyst cannot see
+   that rows are already grouped by their own partition id);
 4. the cross-partition carry is a per-partition totals aggregate —
    #shuffle-partitions rows, thousands at most on a 100-TB corpus —
    collected (bounded), prefix-summed on the driver, and broadcast
@@ -112,21 +112,33 @@ def pack_sequences(
     )
 
     # partition-local running total: Arrow batches arrive in the cached
-    # partition's sort order; the accumulator carries across batches
+    # partition's sort order; the accumulator carries across batches.
+    # mapInArrow + pyarrow.compute (not mapInPandas): the cumsum is a
+    # pure int64 column op, so skipping the Arrow→pandas→Arrow
+    # round-trip keeps the pass allocation-free — and the worker never
+    # imports pandas (guide §4.2: hand whole batches to vectorized
+    # native code; pyarrow is already loaded by the Arrow serializer)
     def cum(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         run = 0
-        for pdf in batches:
-            c = pdf["_n"].cumsum() + run
+        for b in batches:
+            c = pc.cumulative_sum(b.column("_n"))
+            if run:
+                c = pc.add(c, pa.scalar(run, pa.int64()))
             if len(c):
-                run = int(c.iloc[-1])
-            pdf = pdf.assign(_cum=c)
-            yield pdf
+                run = c[-1].as_py()
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [c],
+                names=list(b.schema.names) + ["_cum"],
+            )
 
     # schema derived from the input: string/timestamp ids and order
     # keys pass through untouched
     from pyspark.sql.types import LongType, StructField, StructType
 
-    local = base.mapInPandas(
+    local = base.mapInArrow(
         cum,
         schema=StructType(
             base.schema.fields + [StructField("_cum", LongType())]

@@ -48,19 +48,26 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-k: (query_id, doc_id, rank, score).
 
     ``score`` is rounded to 6 decimals BEFORE ranking so the ordering
     is reproducible across engines; ties break on doc id. Queries with
-    no term overlap return no rows (score 0 is not a match)."""
-    from .similarity import _widen_scan
+    no term overlap return no rows (score 0 is not a match).
+
+    ``tokenized`` reuses a (persisted) ``text.tokenized_docs`` relation
+    of the corpus — shared with a TF-IDF pass, the corpus tokenizes
+    once for both rankers (and the (N, avgdl) aggregate below reads the
+    cached arrays instead of re-tokenizing)."""
+    from .text import tokenized_docs
 
     # dl rides every posting row out of the explode — no corpus-sized
     # doc-length join later
-    base = _widen_scan(corpus.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("_t"),
+    base = (
+        tokenized
+        if tokenized is not None
+        else tokenized_docs(corpus, text_col, id_col)
     )
     toks = base.select(
         "doc_id", F.size("_t").alias("dl"), F.explode("_t").alias("term")

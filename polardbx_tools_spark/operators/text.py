@@ -360,11 +360,30 @@ def sql_template_id(col: Column) -> Column:
     return F.md5(t)
 
 
+def tokenized_docs(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(doc_id, _t) lowercased whitespace-token ARRAYS, widened below the
+    tokenize — the shared lexical base :func:`tf_idf_top_terms` and
+    ``retrieval.bm25_topk`` both accept (``tokenized=``), so a caller
+    running several lexical rankers over one corpus persists THIS once
+    instead of paying the tokenize scan per ranker (the same
+    shared-relation discipline as the quality suite's hashed-feature
+    pass). One array row per doc (~tokens bytes), safe to persist."""
+    from polardbx_tools_spark.operators.similarity import _widen_scan
+
+    return _widen_scan(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("_t"),
+    )
+
+
 def tf_idf_top_terms(
     df: "DataFrame",
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    tokenized: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Top-k TF-IDF terms per document (corpus keyword extraction).
 
@@ -375,24 +394,28 @@ def tf_idf_top_terms(
     collect), then a per-doc top-k window. Ordering compares the
     ROUNDED score so rank is reproducible across engines (raw ln()
     differs in the last ulp between libm implementations).
+
+    ``tokenized`` reuses a (persisted) :func:`tokenized_docs` relation —
+    the corpus then tokenizes zero extra times here (shared with e.g. a
+    BM25 pass over the same corpus).
     """
     from pyspark.sql import DataFrame as _DF  # noqa: F401  (doc type only)
     from pyspark.sql.window import Window
 
-    from polardbx_tools_spark.operators.similarity import _widen_scan
-
     # widen below the tokenize/explode: a small parquet arrives as one
     # split and the per-doc regex tokenize then serializes on one core
     # (no-op at real scale — see _widen_scan)
-    toks = _widen_scan(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    base = (
+        tokenized
+        if tokenized is not None
+        else tokenized_docs(df, text_col, id_col)
     )
+    toks = base.select("doc_id", F.explode("_t").alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df_t")
     )
-    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    n_docs = base.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # push bare COUNT/MIN/MAX over parquet to footer statistics —
+        # turns full-scan bookkeeping jobs (corpus-size counts, max-LSN
+        # bounds) into metadata reads; Spark falls back to a scan
+        # whenever a filter or unsupported type makes stats unusable
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # deterministic file layout: one writer task per output bucket is
         # decided by the engine (salted repartition), not by max-splits

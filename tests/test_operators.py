@@ -1220,7 +1220,9 @@ def test_pack_sequences_plan_is_distributed_prefix_sum(spark):
     assert "rangepartitioning" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
-    assert "MapInPandas" in plan, plan
+    # the cumsum pass is Arrow-native (r06: mapInPandas -> mapInArrow,
+    # no pandas round-trip in the worker)
+    assert "MapInArrow" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 
 
