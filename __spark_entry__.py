@@ -614,7 +614,10 @@ def _q_cdc_multi_table_apply(spark, sf):
             )
             for name in ("clicks", "txns")
         }
-        apply_multi_table(spark, tables, changelog, batch_id=0)
+        # overlap the two independent per-table merges (results are
+        # identical to the serial path; see apply_multi_table)
+        apply_multi_table(spark, tables, changelog, batch_id=0,
+                          max_parallel_tables=2)
         out = None
         for name in ("clicks", "txns"):
             part = tables[name].read(spark).select(
@@ -663,7 +666,10 @@ def _q_cdc_incremental_read(spark, sf):
         F.col("event_id").alias("source_lsn"),
         F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
     )
-    mid = changelog.agg((F.floor(F.max("source_lsn") / 2)).cast("long")).collect()[0][0]
+    # identical value to max(source_lsn)/2 (source_lsn IS event_id), but
+    # aggregated straight over the scan so the parquet aggregate
+    # pushdown resolves it from footer statistics — no full pass
+    mid = ev.agg((F.floor(F.max("event_id") / 2)).cast("long")).collect()[0][0]
     tmp = _scratch_dir("cdc-inc-")
     try:
         schema = StructType([
@@ -1230,7 +1236,11 @@ def _q_text_rank_suite(spark, sf):
     # each leg re-tokenizes the corpus (tfidf once, bm25 twice — its
     # postings and its (N, avgdl) aggregate are separate subtrees), so
     # the suite paid the tokenize scan 3x per run
+    # materialized eagerly: the union's four subtrees otherwise RACE to
+    # build the same cached partitions in one job (Spark does not lock
+    # in-flight cache builds), re-tokenizing concurrently
     tokd = text.tokenized_docs(d).persist()
+    tokd.count()
     tfl = text.tf_idf_top_terms(d, k=5, tokenized=tokd).select(
         F.lit("tfidf").alias("leg"),
         F.col("doc_id").alias("a"), F.lit(-1).cast("long").alias("b"),

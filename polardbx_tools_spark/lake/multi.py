@@ -111,6 +111,7 @@ def apply_multi_table(
     mode: str = "cow",
     on_unknown: str = "error",
     cache: bool = True,
+    max_parallel_tables: int = 1,
 ) -> MultiApplyStats:
     """Apply one mixed changelog microbatch to every routed table.
 
@@ -119,6 +120,16 @@ def apply_multi_table(
     raises if any event routes nowhere; 'ignore' drops them (their LSNs
     still advance the global offsets — consumed-but-skipped, the same
     contract as quarantine).
+
+    ``max_parallel_tables`` > 1 overlaps the per-table merges in a
+    driver thread pool (Spark schedules concurrent jobs FIFO, so one
+    table's write tail back-fills with the next table's stats pass —
+    the idle-capacity pattern). Per-table results are identical to the
+    serial path: each merge touches only its own table and commits its
+    own snapshot, and the crash protocol already tolerates any subset
+    of tables having committed (global offsets + per-partition-MIN
+    resume). Default stays serial — deterministic apply order keeps
+    crash-window tests reproducible.
     """
     if on_unknown not in ("error", "ignore"):
         raise ValueError(f"on_unknown must be 'error'|'ignore', got {on_unknown!r}")
@@ -150,8 +161,8 @@ def apply_multi_table(
             )
         # deterministic apply order (dict order is caller-controlled but
         # sorting makes crash-window tests reproducible)
-        for name in sorted(tables):
-            stats.per_table[name] = merge_into(
+        def _one(name: str) -> MergeStats:
+            return merge_into(
                 spark,
                 tables[name],
                 batch.filter(F.col(schema_col) == name).drop(schema_col),
@@ -160,6 +171,19 @@ def apply_multi_table(
                 mode=mode,
                 extra_offsets=stats.global_offsets,
             )
+
+        names = sorted(tables)
+        if max_parallel_tables > 1 and len(names) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                min(max_parallel_tables, len(names))
+            ) as pool:
+                for name, st in zip(names, pool.map(_one, names)):
+                    stats.per_table[name] = st
+        else:
+            for name in names:
+                stats.per_table[name] = _one(name)
         return stats
     finally:
         if cache:

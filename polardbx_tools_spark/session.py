@@ -49,12 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # push bare COUNT/MIN/MAX over parquet to footer statistics —
-        # turns full-scan bookkeeping jobs (corpus-size counts, max-LSN
-        # bounds) into metadata reads; Spark falls back to a scan
-        # whenever a filter or unsupported type makes stats unusable
-        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd parquet: smaller files at similar read speed (guide §6);
+        # on this memory-bandwidth-bound box the smaller COW rewrite
+        # measurably beats snappy (10M-leg A/B: 29.4-30.6s vs
+        # 31.3-31.5s). Shuffle stays lz4 — a zstd shuffle A/B was
+        # slower (34.5s): the shuffle path is CPU-sensitive here.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # deterministic file layout: one writer task per output bucket is
         # decided by the engine (salted repartition), not by max-splits
         .config("spark.sql.files.maxPartitionBytes", "134217728")

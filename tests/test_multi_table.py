@@ -379,3 +379,26 @@ def test_unknown_route_rejected_or_consumed(spark, tmp_path):
     for t in tables.values():
         assert t.read(spark).count() == 0
         assert t.offsets() == st.global_offsets
+
+
+def test_parallel_apply_equals_serial(spark, tmp_path):
+    """max_parallel_tables overlaps the per-table merges in driver
+    threads (r06 optimization); the per-table state, offsets, and merge
+    stats must be IDENTICAL to the serial path."""
+    mixed = _mixed_changelog(spark)
+    serial = _make_tables(tmp_path / "s")
+    par = _make_tables(tmp_path / "p")
+    st_s = apply_multi_table(spark, serial, mixed, batch_id=0)
+    st_p = apply_multi_table(spark, par, mixed, batch_id=0,
+                             max_parallel_tables=2)
+    assert st_p.global_offsets == st_s.global_offsets
+    for name in serial:
+        got = normalize(par[name].read(spark).toPandas(), PAYLOAD)
+        want = normalize(serial[name].read(spark).toPandas(), PAYLOAD)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert par[name].offsets() == serial[name].offsets()
+        a, b = st_p.per_table[name], st_s.per_table[name]
+        assert (a.upserts, a.deletes, a.conflicts_resolved,
+                a.rows_written) == (
+            b.upserts, b.deletes, b.conflicts_resolved, b.rows_written)
+        assert a.per_partition == b.per_partition
